@@ -1,0 +1,100 @@
+"""Evaluation metrics matching the reference's ``recall`` / ``mAP`` /
+``accuracy`` tasks (``main.cpp:670-944``).
+
+The reference's ``accuracy`` task is buggy (it scores a never-populated
+``ranked_scores`` array, ``main.cpp:703-718``); here ``top1_accuracy``
+implements the obvious intent (top-1 of the approximate search is the
+true nearest neighbor).  All other formulas mirror the reference exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def recall_at_k(retrieved_ids: np.ndarray, gt_ids: np.ndarray,
+                k: Optional[int] = None) -> float:
+    """Mean |retrieved@k ∩ gt@k| / k (reference ``recall`` task,
+    ``main.cpp:782-796``)."""
+    if k is None:
+        k = retrieved_ids.shape[1]
+    r = retrieved_ids[:, :k]
+    g = gt_ids[:, :k]
+    hits = sum(len(np.intersect1d(r[q], g[q])) for q in range(len(r)))
+    return hits / (len(r) * k)
+
+
+def top1_accuracy(retrieved_ids: np.ndarray, gt_ids: np.ndarray) -> float:
+    """Fraction of queries whose first result is the true NN (intended
+    semantics of the broken ``accuracy`` task, ``main.cpp:670-726``)."""
+    return float(np.mean(retrieved_ids[:, 0] == gt_ids[:, 0]))
+
+
+def mean_average_precision(retrieved_ids: np.ndarray, gt_ids: np.ndarray,
+                           retrieved_dists: Optional[np.ndarray] = None,
+                           gt_dists: Optional[np.ndarray] = None
+                           ) -> Dict[str, float]:
+    """mAP@k plus the distance-ratio statistics of the ``mAP`` task
+    (``main.cpp:863-896``).
+
+    AP@k for one query = (1/topk) * sum_{k=1..topk} |ret@k ∩ gt@k| / k.
+    avg/max ratio compare sqrt(gt_dist_k) / sqrt(retrieved_dist_k)
+    position-wise (reference ``main.cpp:869-874``).
+    """
+    nq, topk = retrieved_ids.shape
+    total = 0.0
+    avg_ratio = 0.0
+    max_ratio = 0.0
+    have_ratio = retrieved_dists is not None and gt_dists is not None
+    for q in range(nq):
+        apk = 0.0
+        for k in range(1, topk + 1):
+            score = len(np.intersect1d(retrieved_ids[q, :k], gt_ids[q, :k]))
+            apk += score / k
+            if have_ratio:
+                rk = np.sqrt(max(retrieved_dists[q, k - 1], 0.0))
+                gk = np.sqrt(max(gt_dists[q, k - 1], 0.0))
+                ratio = gk / rk if rk > 0 else 0.0
+                avg_ratio += ratio
+                max_ratio = max(max_ratio, ratio)
+        total += apk / topk
+    out = {"mAP": total / nq}
+    if have_ratio:
+        out["avg_ratio"] = avg_ratio / (topk * nq)
+        out["max_ratio"] = max_ratio
+    return out
+
+
+def epsilon_recall(retrieved_true_dists: np.ndarray, gt_dists: np.ndarray,
+                   eps: float = 1.1) -> Dict[str, float]:
+    """ε-recall / true-distance recall / k-approximation ratio
+    (reference ``main.cpp:898-940``).
+
+    retrieved_true_dists: TRUE squared-L2 distances of the retrieved ids
+    (the reference re-reads raw base vectors by seek offset); gt_dists:
+    squared-L2 of the exact top-k.  All compared in sqrt space.
+    """
+    nq, topk = retrieved_true_dists.shape
+    rd = np.sqrt(np.maximum(retrieved_true_dists, 0.0))
+    kth = np.sqrt(np.maximum(gt_dists[:, topk - 1], 0.0))  # [nq]
+    thres = kth * eps
+    rec_eps = float(np.mean(rd <= thres[:, None]))
+    rec = float(np.mean(rd <= kth[:, None]))
+    valid = kth > 0
+    ratio = float(np.mean(rd[valid].max(axis=1) / kth[valid])) \
+        if valid.any() else 0.0
+    return {"eps_recall": rec_eps, "recall_true": rec, "k_app_ratio": ratio}
+
+
+def true_distances(base: np.ndarray, queries: np.ndarray,
+                   ids: np.ndarray) -> np.ndarray:
+    """Squared-L2 between each query and its retrieved base vectors
+    (reference re-reads base vectors by offset, ``main.cpp:901-931``)."""
+    nq, topk = ids.shape
+    out = np.empty((nq, topk), np.float32)
+    for q in range(nq):
+        diff = base[ids[q]] - queries[q][None, :]
+        out[q] = np.sum(diff * diff, axis=1)
+    return out
