@@ -1,0 +1,187 @@
+import numpy as np
+import pytest
+
+import jax
+
+from deltapq_tpu.ops import pq_learn, pq_encode
+from deltapq_tpu.tree import (find_edges_by_diff, nchoosek, pack_keys,
+                              build_layout, mkk_tables, DeltaTree,
+                              serialize_dtc, decode_dtc_to_codes,
+                              serialize_diff_index, decode_diff_index,
+                              write_dtc, read_dtc_raw)
+
+
+@pytest.fixture(scope="module")
+def clustered_codes():
+    rng = np.random.default_rng(7)
+    n, M, K = 1500, 8, 16
+    # base patterns with few distinct values per column -> many shared codes
+    base = rng.integers(0, K, size=(40, M))
+    rows = base[rng.integers(0, 40, n)]
+    # sprinkle random mutations
+    mut = rng.random((n, M)) < 0.08
+    rows = np.where(mut, rng.integers(0, K, size=(n, M)), rows)
+    return rows.astype(np.uint8), M, K
+
+
+@pytest.fixture(scope="module")
+def tree_and_codes(clustered_codes):
+    codes, M, K = clustered_codes
+    rng = np.random.default_rng(3)
+    cw = rng.normal(size=(M, K, 4)).astype(np.float32)
+    res = find_edges_by_diff(codes, K=K, max_height_folds=1, method=1)
+    tree = build_layout(codes, res.edges, res.root_id, K=K, codewords=cw)
+    return codes, tree, res, cw
+
+
+def test_nchoosek_order_matches_reference():
+    # reference nchoosek(4, 2) via prev_permutation == lexicographic
+    assert nchoosek(4, 2) == [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+
+
+def test_pack_keys_u64_grouping():
+    codes = np.array([[1, 2, 3], [1, 5, 3], [1, 2, 3]], np.uint8)
+    k = pack_keys(codes, (0, 1), 8)
+    assert k[0] == k[2] and k[0] != k[1]
+    k2 = pack_keys(codes, (0, 2), 8)
+    assert k2[0] == k2[1] == k2[2]  # dims 0 and 2 agree on all rows
+
+
+def test_pack_keys_u128():
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 256, size=(50, 16)).astype(np.uint8)
+    k = pack_keys(codes, tuple(range(16)), 8)
+    assert k.shape == (50, 2)
+    # uniqueness matches row uniqueness
+    _, inv1 = np.unique(codes, axis=0, return_inverse=True)
+    _, inv2 = np.unique(k, axis=0, return_inverse=True)
+    a = inv1[:, None] == inv1[None, :]
+    b = inv2[:, None] == inv2[None, :]
+    np.testing.assert_array_equal(a, b)
+
+
+def test_edges_form_spanning_tree(clustered_codes):
+    codes, M, K = clustered_codes
+    res = find_edges_by_diff(codes, K=K)
+    n = len(codes)
+    assert len(res.edges) == n - 1
+    # every node except root appears exactly once as child
+    children = res.edges[:, 1]
+    assert len(np.unique(children)) == n - 1
+    assert res.root_id not in children
+    # no self loops
+    assert np.all(res.edges[:, 0] != res.edges[:, 1])
+
+
+def test_edges_method2(clustered_codes):
+    codes, M, K = clustered_codes
+    res = find_edges_by_diff(codes, K=K, method=2)
+    assert len(res.edges) == len(codes) - 1
+
+
+def test_duplicate_codes_get_zero_diff_edges():
+    codes = np.tile(np.array([[3, 1, 4, 1, 5, 9, 2, 6]], np.uint8), (10, 1))
+    res = find_edges_by_diff(codes, K=16)
+    assert len(res.edges) == 9
+    assert res.n_diffs == 0
+
+
+def test_layout_dfs_invariants(tree_and_codes):
+    codes, tree, res, cw = tree_and_codes
+    n = tree.n
+    assert tree.parent_pos[0] == -1
+    assert tree.depth[0] == 0
+    # parents precede children in DFS order and depth increments by 1
+    for i in range(1, n):
+        p = tree.parent_pos[i]
+        assert 0 <= p < i
+        assert tree.depth[i] == tree.depth[p] + 1
+    # vec_id is a permutation
+    assert len(np.unique(tree.vec_id)) == n
+    # root diffs: M pseudo-diffs carrying the root code
+    assert tree.diff_num[0] == tree.M
+    np.testing.assert_array_equal(tree.diff_to[:tree.M],
+                                  codes[tree.root_id])
+
+
+def test_layout_child_num_is_descendant_count(tree_and_codes):
+    _, tree, _, _ = tree_and_codes
+    # child_num == number of DFS descendants (reference :1182)
+    n = tree.n
+    desc = np.zeros(n, np.int64)
+    for i in range(n - 1, 0, -1):
+        desc[tree.parent_pos[i]] += desc[i] + 1
+    np.testing.assert_array_equal(tree.child_num, desc)
+
+
+def test_lossless_decode_codes(tree_and_codes):
+    codes, tree, _, _ = tree_and_codes
+    decoded = tree.decode_codes()
+    np.testing.assert_array_equal(decoded, codes)
+
+
+def test_dtc_serialization_roundtrip(tree_and_codes):
+    codes, tree, res, _ = tree_and_codes
+    stream = np.frombuffer(serialize_dtc(tree), np.uint8)
+    # size formula (deltapq_create_approx_tree.h:1765) for M=8
+    n = tree.n
+    expect = 8 + res.n_diffs + (3 * (n - 1) + 1) // 2
+    assert len(stream) == expect
+    decoded_dfs = decode_dtc_to_codes(stream, n, tree.M)
+    # decoded rows are in DFS order; map back via vec_id
+    back = np.empty_like(codes)
+    back[tree.vec_id.astype(np.int64)] = decoded_dfs
+    np.testing.assert_array_equal(back, codes)
+
+
+def test_dtc_file_roundtrip(tmp_path, tree_and_codes):
+    codes, tree, _, _ = tree_and_codes
+    p = str(tmp_path / "dtc.bin")
+    write_dtc(p, tree)
+    n_codes, stream = read_dtc_raw(p)
+    assert n_codes == tree.n
+    decoded = decode_dtc_to_codes(stream, n_codes, tree.M)
+    back = np.empty_like(codes)
+    back[tree.vec_id.astype(np.int64)] = decoded
+    np.testing.assert_array_equal(back, codes)
+
+
+def test_diff_index_roundtrip(clustered_codes):
+    codes, M, K = clustered_codes
+    stream = np.frombuffer(serialize_diff_index(codes), np.uint8)
+    back = decode_diff_index(stream, len(codes), M, K)
+    np.testing.assert_array_equal(back, codes)
+
+
+def test_diff_index_roundtrip_u16():
+    rng = np.random.default_rng(1)
+    codes = rng.integers(0, 1024, size=(200, 4)).astype(np.uint16)
+    stream = np.frombuffer(serialize_diff_index(codes), np.uint8)
+    back = decode_diff_index(stream, 200, 4, K=1024)
+    np.testing.assert_array_equal(back, codes)
+
+
+def test_height_constraint_bounds_depth(clustered_codes):
+    codes, M, K = clustered_codes
+    res = find_edges_by_diff(codes, K=K, max_height_folds=1, method=1)
+    rng = np.random.default_rng(3)
+    cw = rng.normal(size=(M, K, 4)).astype(np.float32)
+    tree = build_layout(codes, res.edges, res.root_id, K=K, codewords=cw)
+    # MAX_HEIGHT = M*h = 8; finalists chain adds 1, root adds 1
+    assert int(tree.depth.max()) <= M * 1 + 2
+
+
+def test_end_to_end_tree_from_learned_codes(small_dataset):
+    cw = pq_learn(jax.random.PRNGKey(0), small_dataset, M=4, K=16,
+                  max_iters=20)
+    codes = pq_encode(cw, small_dataset)
+    res = find_edges_by_diff(codes, K=16)
+    tree = build_layout(codes, res.edges, res.root_id, K=16, codewords=cw)
+    np.testing.assert_array_equal(tree.decode_codes(), codes)
+    stream = np.frombuffer(serialize_dtc(tree), np.uint8)
+    decoded = decode_dtc_to_codes(stream, tree.n, tree.M)
+    back = np.empty_like(codes)
+    back[tree.vec_id.astype(np.int64)] = decoded
+    np.testing.assert_array_equal(back, codes)
+    # compression actually helps on clustered data
+    assert len(stream) < codes.size
