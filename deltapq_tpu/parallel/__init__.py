@@ -1,0 +1,8 @@
+from .mesh import make_mesh, shard_rows, replicated, pad_to_shards
+from .sharded import (make_sharded_query_fn, sharded_query_plain,
+                      make_dp_lloyd_step)
+
+__all__ = [
+    "make_mesh", "shard_rows", "replicated", "pad_to_shards",
+    "make_sharded_query_fn", "sharded_query_plain", "make_dp_lloyd_step",
+]

@@ -1,0 +1,59 @@
+import jax
+import numpy as np
+import pytest
+
+from deltapq_tpu.ops import pq_learn, pq_encode, query_plain
+from deltapq_tpu.parallel import (make_mesh, sharded_query_plain,
+                                  make_dp_lloyd_step)
+from jax.sharding import PartitionSpec as P, NamedSharding
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8  # conftest forces 8 CPU devices
+
+
+def test_sharded_query_matches_single_device(rng, small_dataset):
+    cw = pq_learn(jax.random.PRNGKey(0), small_dataset, M=4, K=16,
+                  max_iters=20)
+    codes = pq_encode(cw, small_dataset)
+    q = rng.normal(size=(5, small_dataset.shape[1])).astype(np.float32) * 3
+    d1, i1 = query_plain(cw, q, codes, top_k=10, tile_n=512)
+    d8, i8 = sharded_query_plain(cw, q, codes, top_k=10)
+    np.testing.assert_allclose(d1, d8, rtol=1e-5, atol=1e-5)
+    for b in range(5):
+        assert set(i1[b]) == set(i8[b]) or np.allclose(d1[b], d8[b],
+                                                       rtol=1e-5)
+
+
+def test_sharded_query_various_shard_counts(rng, small_dataset):
+    cw = pq_learn(jax.random.PRNGKey(0), small_dataset, M=4, K=16,
+                  max_iters=10)
+    codes = pq_encode(cw, small_dataset)
+    q = rng.normal(size=(3, small_dataset.shape[1])).astype(np.float32)
+    ref_d, _ = query_plain(cw, q, codes, top_k=5, tile_n=512)
+    for nd in (2, 4):
+        mesh = make_mesh(nd)
+        d, _ = sharded_query_plain(cw, q, codes, top_k=5, mesh=mesh)
+        np.testing.assert_allclose(ref_d, d, rtol=1e-5, atol=1e-5)
+
+
+def test_dp_lloyd_step_matches_global(rng):
+    M, K, Ds, n = 2, 8, 4, 512
+    x = rng.normal(size=(M, n, Ds)).astype(np.float32)
+    centers = x[:, :K, :].copy()
+    mesh = make_mesh()
+    step = make_dp_lloyd_step(mesh)
+    x_dev = jax.device_put(x, NamedSharding(mesh, P(None, "shard", None)))
+    new_c, dist = step(x_dev, centers)
+    new_c = np.asarray(new_c)
+    # reference: global numpy lloyd step
+    for m in range(M):
+        d2 = ((x[m][:, None, :] - centers[m][None]) ** 2).sum(-1)
+        lab = np.argmin(d2, axis=1)
+        for k in range(K):
+            sel = lab == k
+            if sel.any():
+                np.testing.assert_allclose(new_c[m, k], x[m][sel].mean(0),
+                                           rtol=1e-4, atol=1e-5)
+    assert float(dist) > 0
