@@ -32,7 +32,8 @@ from ..ops.adc import adc_table, adc_tile_dists
 # Sharded ADC query
 # --------------------------------------------------------------------------
 
-def _local_scan_topk(table, codes_local, n_valid, base, top_k, tile_n):
+def _local_scan_topk(table, codes_local, n_valid, base, top_k, tile_n,
+                     axis=None):
     """Top-k over this shard's rows (same streaming scan as
     ops.adc.adc_query_topk but with a global id offset)."""
     B = table.shape[0]
@@ -43,6 +44,11 @@ def _local_scan_topk(table, codes_local, n_valid, base, top_k, tile_n):
 
     init_d = jnp.full((B, top_k), jnp.inf, jnp.float32)
     init_i = jnp.full((B, top_k), -1, jnp.int32)
+    if axis is not None:
+        # inside shard_map the carry becomes device-varying after the
+        # first step; mark the (replicated) init values accordingly
+        init_d = jax.lax.pcast(init_d, (axis,), to="varying")
+        init_i = jax.lax.pcast(init_i, (axis,), to="varying")
 
     def step(carry, inp):
         best_d, best_i = carry
@@ -81,7 +87,7 @@ def make_sharded_query_fn(mesh: Mesh, top_k: int, tile_n: int = 8192,
         base = idx.astype(jnp.int32) * rows
         local_valid = jnp.clip(n_valid - base, 0, rows)
         d, i = _local_scan_topk(table, codes_local, local_valid, base,
-                                top_k, min(tile_n, rows))
+                                top_k, min(tile_n, rows), axis=axis)
         # merge across shards: [S, B, k] -> top-k
         all_d = jax.lax.all_gather(d, axis)   # [S, B, k]
         all_i = jax.lax.all_gather(i, axis)
@@ -94,8 +100,7 @@ def make_sharded_query_fn(mesh: Mesh, top_k: int, tile_n: int = 8192,
     mapped = shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(axis), P()),
-        out_specs=(P(), P()),
-        check_rep=False)
+        out_specs=(P(), P()), check_vma=False)
     return jax.jit(mapped)
 
 
@@ -170,6 +175,5 @@ def make_dp_lloyd_step(mesh: Mesh, axis: str = "shard"):
     mapped = shard_map(
         body, mesh=mesh,
         in_specs=(P(None, axis, None), P()),
-        out_specs=(P(), P()),
-        check_rep=False)
+        out_specs=(P(), P()), check_vma=False)
     return jax.jit(mapped)
