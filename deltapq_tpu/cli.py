@@ -1,0 +1,366 @@
+"""Unified CLI covering both reference binaries.
+
+Reference: ``pqtree`` (``main.cpp:183-233`` flags, tasks learn/combine/
+encode/query/groundtruth/accuracy/recall/mAP) and ``deltapq``
+(``deltapq_approx_tree_main.cpp:26-70`` flags, tasks approx_tree/
+diff_index/approx_with_id/query/batch_query/diff_scan/pqscan/update/
+query_im).  Flag names match the reference (single-dash); ``--help``
+replaces ``-h`` which the reference uses for the tree-height multiplier.
+
+Usage examples (mirroring README.md of the reference):
+
+  python -m deltapq_tpu.cli -dataset /data/sift -ext fvecs -task learn \
+      -m 8 -k 256 -train_size 100000
+  python -m deltapq_tpu.cli -dataset /data/sift -ext fvecs -task encode -m 8 -k 256
+  python -m deltapq_tpu.cli -dataset /data/sift -ext fvecs -task approx_tree \
+      -m 8 -k 256 -h 1 -diff 8 -N 1000000
+  python -m deltapq_tpu.cli -dataset /data/sift -ext fvecs -task query -topk 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from .config import (PQConfig, TreeConfig, codewords_filename, codes_filename,
+                     groundtruth_filename, diff_index_filename,
+                     compressed_codes_filename, edges_filename)
+from .io import (read_vecs, write_vecs, iter_vec_batches, num_vectors,
+                 read_codewords, write_codewords, read_codes, write_codes,
+                 read_groundtruth, write_groundtruth)
+from .profiling import Metrics, host_mem_usage
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="deltapq-tpu", add_help=False)
+    p.add_argument("--help", action="help")
+    p.add_argument("-dataset", required=True, help="dataset directory")
+    p.add_argument("-task", required=True)
+    p.add_argument("-ext", default="fvecs", choices=["fvecs", "bvecs"])
+    p.add_argument("-m", type=int, default=8, help="PQ subspaces M")
+    p.add_argument("-k", type=int, default=256, help="centroids per subspace")
+    p.add_argument("-N", type=int, default=-1, help="number of vectors")
+    p.add_argument("-topk", type=int, default=10)
+    p.add_argument("-query_size", type=int, default=-1)
+    p.add_argument("-train_size", type=int, default=-1)
+    p.add_argument("-diff", type=int, default=-1,
+                   help="max edge weight (default M)")
+    p.add_argument("-h", dest="height", type=int, default=1,
+                   help="tree height multiplier (MAX_HEIGHT = M*h)")
+    p.add_argument("-method", type=int, default=1, choices=[1, 2])
+    p.add_argument("-debug", type=int, default=0)
+    p.add_argument("-seed", type=int, default=0)
+    p.add_argument("-batch", type=int, default=128,
+                   help="query batch size per device dispatch")
+    p.add_argument("-shards", type=int, default=0,
+                   help="shard over this many devices (0 = single device)")
+    p.add_argument("-metrics_out", default=None,
+                   help="write stage metrics JSON to this path")
+    return p
+
+
+def _pq_config(args, dim) -> PQConfig:
+    return PQConfig(M=args.m, K=args.k, dim=dim)
+
+
+def _load_codes(args):
+    cfg = PQConfig(M=args.m, K=args.k)
+    n = args.N
+    path = os.path.join(args.dataset, codes_filename(cfg, n if n > 0 else None))
+    if not os.path.exists(path) and n <= 0:
+        # search for any N
+        import glob
+        cands = glob.glob(os.path.join(
+            args.dataset, f"codes.bin.plain.M{args.m}K{args.k}N*"))
+        if not cands:
+            raise FileNotFoundError(
+                f"no code file for M={args.m} K={args.k} in {args.dataset}; "
+                f"run -task encode first")
+        path = sorted(cands)[0]
+    codes, _ = read_codes(path, M=args.m, K=args.k)
+    if n > 0:
+        codes = codes[:n]
+    return codes
+
+
+def _load_queries(args):
+    q = read_vecs(os.path.join(args.dataset, f"query.{args.ext}"),
+                  ext=args.ext)
+    if len(q) > 10000:
+        q = q[:10000]
+    if args.query_size > 0:
+        q = q[:args.query_size]
+    return q
+
+
+def task_learn(args, metrics: Metrics):
+    import jax
+
+    from .ops import pq_learn
+
+    learn_path = os.path.join(args.dataset, f"learn.{args.ext}")
+    with metrics.stage("read"):
+        # load pool of 100K, shuffle, cut to train_size (main.cpp:250-264)
+        learns = read_vecs(learn_path, ext=args.ext, top_n=100_000)
+    rng = np.random.default_rng(args.seed)
+    rng.shuffle(learns)
+    if args.train_size > 0:
+        learns = learns[:args.train_size]
+    print(f"learn pool {len(learns)} vectors dim {learns.shape[1]}")
+    with metrics.stage("kmeans"):
+        cw = pq_learn(jax.random.PRNGKey(args.seed), learns, M=args.m,
+                      K=args.k, max_iters=100, n_init=3)
+    out = os.path.join(args.dataset,
+                       codewords_filename(_pq_config(args, learns.shape[1])))
+    write_codewords(out, cw)
+    print(f"codewords written to {out}")
+
+
+def task_encode(args, metrics: Metrics):
+    from .ops import pq_encode
+
+    cfg = PQConfig(M=args.m, K=args.k)
+    cw = read_codewords(os.path.join(args.dataset, codewords_filename(cfg)))
+    base = os.path.join(args.dataset, f"base.{args.ext}")
+    total = num_vectors(base, args.ext)
+    if args.N > 0:
+        total = min(total, args.N)
+    chunks = []
+    with metrics.stage("encode"):
+        for batch in iter_vec_batches(base, ext=args.ext,
+                                      batch_size=262144, top_n=total):
+            chunks.append(pq_encode(cw, batch))
+    codes = np.concatenate(chunks)
+    out = os.path.join(args.dataset, codes_filename(cfg, len(codes)))
+    write_codes(out, codes)
+    print(f"{len(codes)} codes written to {out}")
+
+
+def task_groundtruth(args, metrics: Metrics):
+    from .eval import groundtruth_from_file
+
+    q = _load_queries(args)
+    base = os.path.join(args.dataset, f"base.{args.ext}")
+    with metrics.stage("scan"):
+        d, i = groundtruth_from_file(base, q, args.ext, top_k=args.topk,
+                                     top_n=args.N)
+    n = num_vectors(base, args.ext) if args.N <= 0 else args.N
+    gt_dir = os.path.join(args.dataset, "groundtruth")
+    os.makedirs(gt_dir, exist_ok=True)
+    out = os.path.join(gt_dir, groundtruth_filename(n, args.topk))
+    write_groundtruth(out, i, d)
+    print(f"groundtruth written to {out}")
+
+
+def task_query(args, metrics: Metrics):
+    """Plain ADC query (pqtree -task query / deltapq -task pqscan)."""
+    from .ops import query_plain
+    from .parallel import make_mesh, sharded_query_plain
+
+    cfg = PQConfig(M=args.m, K=args.k)
+    cw = read_codewords(os.path.join(args.dataset, codewords_filename(cfg)))
+    codes = _load_codes(args)
+    q = _load_queries(args)
+    t0 = time.perf_counter()
+    with metrics.stage("query"):
+        if args.shards:
+            mesh = make_mesh(args.shards)
+            d, i = sharded_query_plain(cw, q, codes, top_k=args.topk,
+                                       mesh=mesh)
+        else:
+            d, i = query_plain(cw, q, codes, top_k=args.topk)
+    dt = time.perf_counter() - t0
+    print(f"{dt / len(q) * 1000:.4f} [msec/query]")
+    if args.debug:
+        for b in range(min(5, len(q))):
+            print(i[b, 0], d[b, 0])
+    return d, i
+
+
+def task_approx_tree(args, metrics: Metrics):
+    from .tree import find_edges_by_diff, build_layout, write_dtc
+    from .config import tree_nodes_filename
+
+    cfg = PQConfig(M=args.m, K=args.k)
+    tcfg = TreeConfig(diff=args.diff if args.diff > 0 else None,
+                      h=args.height, method=args.method)
+    cw = read_codewords(os.path.join(args.dataset, codewords_filename(cfg)))
+    codes = _load_codes(args)
+    n = len(codes)
+    with metrics.stage("find_edges"):
+        res = find_edges_by_diff(codes, K=args.k,
+                                 diff_argument=tcfg.resolved_diff(args.m),
+                                 max_height_folds=args.height,
+                                 method=args.method)
+    print(f"found {len(res.edges)} edges, {res.n_diffs} diffs")
+    with metrics.stage("layout"):
+        tree = build_layout(codes, res.edges, res.root_id, K=args.k,
+                            codewords=cw)
+    out = os.path.join(args.dataset,
+                       compressed_codes_filename(cfg, tcfg, n))
+    with metrics.stage("serialize"):
+        write_dtc(out, tree)
+    # cache the SoA for fast query loading
+    np.savez(out + ".soa.npz", vec_id=tree.vec_id,
+             parent_pos=tree.parent_pos, depth=tree.depth,
+             diff_num=tree.diff_num, diff_off=tree.diff_off,
+             diff_m=tree.diff_m, diff_to=tree.diff_to,
+             child_pos_start=tree.child_pos_start, child_num=tree.child_num,
+             max_dist=tree.max_dist, max_dist2p=tree.max_dist2p,
+             root_id=tree.root_id, M=tree.M, K=tree.K)
+    comp_bytes = os.path.getsize(out) - 16
+    print(f"compressed codes written to {out}: {comp_bytes} bytes "
+          f"({comp_bytes / n:.2f} B/vec vs {args.m} plain)")
+
+
+def _load_tree(args, n):
+    from .tree.layout import DeltaTree
+
+    cfg = PQConfig(M=args.m, K=args.k)
+    tcfg = TreeConfig(h=args.height, method=args.method)
+    path = os.path.join(args.dataset,
+                        compressed_codes_filename(cfg, tcfg, n)) + ".soa.npz"
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"{path} missing; run -task approx_tree")
+    z = np.load(path)
+    return DeltaTree(vec_id=z["vec_id"], parent_pos=z["parent_pos"],
+                     depth=z["depth"], diff_num=z["diff_num"],
+                     diff_off=z["diff_off"], diff_m=z["diff_m"],
+                     diff_to=z["diff_to"],
+                     child_pos_start=z["child_pos_start"],
+                     child_num=z["child_num"], max_dist=z["max_dist"],
+                     max_dist2p=z["max_dist2p"], root_id=int(z["root_id"]),
+                     M=int(z["M"]), K=int(z["K"]))
+
+
+def task_query_compressed(args, metrics: Metrics):
+    """deltapq -task query / query_im / batch_query over the DeltaTree."""
+    from .ops.delta import build_delta_pack, query_compressed
+
+    cfg = PQConfig(M=args.m, K=args.k)
+    cw = read_codewords(os.path.join(args.dataset, codewords_filename(cfg)))
+    codes = _load_codes(args)
+    tree = _load_tree(args, len(codes))
+    q = _load_queries(args)
+    with metrics.stage("pack"):
+        pack = build_delta_pack(tree)
+    t0 = time.perf_counter()
+    with metrics.stage("query"):
+        d, i = query_compressed(pack, cw, q, top_k=args.topk)
+    dt = time.perf_counter() - t0
+    print(f"{dt / len(q) * 1000:.4f} [msec/query]")
+    if args.debug:
+        print(i[0, 0], d[0, 0])
+    return d, i
+
+
+def task_diff_index(args, metrics: Metrics):
+    from .tree import write_diff_index
+
+    cfg = PQConfig(M=args.m, K=args.k)
+    codes = _load_codes(args)
+    out = os.path.join(args.dataset, diff_index_filename(cfg, len(codes)))
+    with metrics.stage("serialize"):
+        write_diff_index(out, codes)
+    print(f"diff index written to {out}: {os.path.getsize(out)} bytes")
+
+
+def task_recall(args, metrics: Metrics):
+    from .eval import recall_at_k
+
+    d, i = task_query(args, metrics)
+    n = args.N if args.N > 0 else _load_codes(args).shape[0]
+    gt_path = os.path.join(args.dataset, "groundtruth",
+                           groundtruth_filename(n, 10000))
+    if not os.path.exists(gt_path):
+        gt_path = os.path.join(args.dataset, "groundtruth",
+                               groundtruth_filename(n, args.topk))
+    gt_ids, gt_d = read_groundtruth(gt_path)
+    r = recall_at_k(i, gt_ids[:len(i)], k=args.topk)
+    print(f"{r}")
+    metrics.set("recall", r)
+
+
+def task_map(args, metrics: Metrics):
+    from .eval import (mean_average_precision, epsilon_recall,
+                       true_distances)
+
+    d, i = task_query(args, metrics)
+    n = args.N if args.N > 0 else _load_codes(args).shape[0]
+    gt_ids, gt_d = read_groundtruth(
+        os.path.join(args.dataset, "groundtruth",
+                     groundtruth_filename(n, args.topk)))
+    out = mean_average_precision(i, gt_ids[:len(i)], d, gt_d[:len(i)])
+    print(f"MAP = {out['mAP']}")
+    print(f"Avg ratio: {out.get('avg_ratio')}")
+    print(f"Max ratio: {out.get('max_ratio')}")
+    base = read_vecs(os.path.join(args.dataset, f"base.{args.ext}"),
+                     ext=args.ext, top_n=n)
+    q = _load_queries(args)
+    td = true_distances(base, q[:len(i)], i)
+    er = epsilon_recall(td, gt_d[:len(i)])
+    print(f"eps recall = {er['eps_recall']}")
+    print(f"recall = {er['recall_true']}")
+    print(f"ratio = {er['k_app_ratio']}")
+    for k, v in {**out, **er}.items():
+        metrics.set(k, v)
+
+
+def task_update(args, metrics: Metrics):
+    """Update-cost simulation (``update_query_processing_simulation``,
+    ``deltapq_create_approx_tree.h:3646-3723``): random code updates;
+    each update costs 1 bitmap byte + changed bytes + 0.25 B of marks."""
+    codes = _load_codes(args)
+    rng = np.random.default_rng(args.seed)
+    n_updates = args.query_size if args.query_size > 0 else 10000
+    idx = rng.integers(0, len(codes), n_updates)
+    new_vals = rng.integers(0, args.k, (n_updates, args.m)).astype(codes.dtype)
+    changed = (codes[idx] != new_vals).sum(axis=1)
+    total_bytes = float(np.sum(1 + changed) + 0.25 * n_updates)
+    print(f"{n_updates} updates: {total_bytes} bytes "
+          f"({total_bytes / n_updates:.2f} B/update)")
+    metrics.set("update_bytes", total_bytes)
+
+
+TASKS = {
+    "learn": task_learn,
+    "encode": task_encode,
+    "groundtruth": task_groundtruth,
+    "query": task_query,
+    "pqscan": task_query,
+    "recall": task_recall,
+    "mAP": task_map,
+    "approx_tree": task_approx_tree,
+    "query_compressed": task_query_compressed,
+    "query_im": task_query_compressed,
+    "batch_query": task_query_compressed,
+    "diff_index": task_diff_index,
+    "update": task_update,
+}
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.task not in TASKS:
+        print(f"unknown task {args.task!r}; available: {sorted(TASKS)}",
+              file=sys.stderr)
+        return 2
+    metrics = Metrics()
+    t0 = time.perf_counter()
+    TASKS[args.task](args, metrics)
+    metrics.set("time_total_s", round(time.perf_counter() - t0, 3))
+    for k, v in host_mem_usage().items():
+        metrics.set(k, round(v, 1))
+    if args.metrics_out:
+        metrics.dump(args.metrics_out)
+    print(json.dumps(metrics.data, sort_keys=True, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

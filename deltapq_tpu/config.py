@@ -120,9 +120,12 @@ def codewords_filename(cfg: PQConfig) -> str:
     return f"M{cfg.M}K{cfg.K}codewords.txt"
 
 
-def codes_filename(cfg: PQConfig, with_id: bool = False) -> str:
-    """``main.cpp:341-346``: codes.bin.plain.M{M}K{K}[.with_id]"""
+def codes_filename(cfg: PQConfig, n: Optional[int] = None,
+                   with_id: bool = False) -> str:
+    """``main.cpp:409``: codes.bin.plain.M{M}K{K}N{N}."""
     name = f"codes.bin.plain.M{cfg.M}K{cfg.K}"
+    if n is not None:
+        name += f"N{n}"
     if with_id:
         name += ".with_id"
     return name
