@@ -1,0 +1,157 @@
+"""Pallas TPU kernel for the ADC scan — the hot kernel of the system.
+
+The distance ``dist[n, b] = sum_m T[b, m, codes[n, m]]`` is a
+gather-accumulate; TPUs have no fast per-lane gather, so the kernel
+re-expresses the K-way lookup as a **one-hot matmul on the MXU**:
+
+    onehot_m[n, k] = (codes[n, m] == k)          # VPU compare vs iota
+    acc[n, b]     += onehot_m @ T[m, :, :]       # [TN,K] @ [K,B] MXU
+
+Per code byte this does K MACs instead of 1 lookup, but the MACs run on
+the 128x128 systolic array while the byte stream rides HBM — for
+B >= 64 queries the kernel is HBM-bound on the code bytes, which is the
+speed-of-light target (BASELINE.md).  The reference's analogous design
+is the query-major batch layout + #pragma simd over queries
+(``deltapq_create_approx_tree.h:3223-3447``).
+
+Each grid step also extracts its tile's local top-k per query with a
+mask-and-argmin loop (k tiny vs the matmul), so only k candidates per
+tile per query return to HBM instead of the full [tile, B] distance
+block; a final ``lax.top_k`` merges tiles.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _adc_dists_kernel(codes_ref, table_ref, out_ref):
+    """One tile: codes [TN, M] int32, table [M*K, B] f32 -> out [TN, B]."""
+    TN, M = codes_ref.shape
+    MK, B = table_ref.shape
+    K = MK // M
+    codes = codes_ref[:]
+    acc = jnp.zeros((TN, B), jnp.float32)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (TN, K), 1)
+    for m in range(M):
+        onehot = (iota_k == codes[:, m][:, None]).astype(jnp.float32)
+        acc = acc + jnp.dot(onehot, table_ref[m * K:(m + 1) * K, :],
+                            preferred_element_type=jnp.float32)
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n",))
+def adc_dists_pallas(table: jnp.ndarray, codes: jnp.ndarray,
+                     tile_n: int = 512) -> jnp.ndarray:
+    """Full distance matrix [B, N] via the one-hot MXU kernel.
+
+    table: [B, M, K] f32; codes: [N, M] uint8/int32, N % tile_n == 0.
+    """
+    B, M, K = table.shape
+    N = codes.shape[0]
+    assert N % tile_n == 0
+    table_t = table.transpose(1, 2, 0).reshape(M * K, B)  # [M*K, B]
+    codes_i = codes.astype(jnp.int32)
+
+    out = pl.pallas_call(
+        _adc_dists_kernel,
+        grid=(N // tile_n,),
+        in_specs=[
+            pl.BlockSpec((tile_n, M), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M * K, B), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_n, B), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, B), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * M * K * B,
+            bytes_accessed=N * M + M * K * B * 4 + N * B * 4,
+            transcendentals=0),
+    )(codes_i, table_t)
+    return out.T  # [B, N]
+
+
+def _adc_topk_kernel(codes_ref, table_ref, out_d_ref, out_i_ref,
+                     *, top_k: int):
+    """One tile: distances + tile-local top-k extraction.
+
+    codes [TN, M] int32; table [M*K, B] f32;
+    out_d [top_k, B] f32; out_i [top_k, B] int32 (row ids within tile).
+    """
+    TN, M = codes_ref.shape
+    MK, B = table_ref.shape
+    K = MK // M
+    codes = codes_ref[:]
+    acc = jnp.zeros((TN, B), jnp.float32)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (TN, K), 1)
+    for m in range(M):
+        onehot = (iota_k == codes[:, m][:, None]).astype(jnp.float32)
+        acc = acc + jnp.dot(onehot, table_ref[m * K:(m + 1) * K, :],
+                            preferred_element_type=jnp.float32)
+    # extract top_k smallest per column with mask-and-argmin
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (TN, B), 0)
+    for j in range(top_k):
+        dmin = jnp.min(acc, axis=0)                      # [B]
+        amin = jnp.argmin(acc, axis=0).astype(jnp.int32)  # [B]
+        out_d_ref[0, j, :] = dmin
+        out_i_ref[0, j, :] = amin
+        acc = jnp.where(iota_n == amin[None, :], jnp.inf, acc)
+
+
+@functools.partial(jax.jit, static_argnames=("top_k", "tile_n"))
+def adc_topk_pallas(table: jnp.ndarray, codes: jnp.ndarray,
+                    n_valid: jnp.ndarray, top_k: int, tile_n: int = 2048
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Streaming ADC scan + top-k, fully fused: per tile only k
+    candidates/query leave the kernel.  Returns (dists [B, top_k]
+    ascending, ids [B, top_k] global rows; padding rows masked out)."""
+    B, M, K = table.shape
+    N = codes.shape[0]
+    assert N % tile_n == 0
+    n_tiles = N // tile_n
+    table_t = table.transpose(1, 2, 0).reshape(M * K, B)
+    codes_i = codes.astype(jnp.int32)
+
+    d_tiles, i_tiles = pl.pallas_call(
+        functools.partial(_adc_topk_kernel, top_k=top_k),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile_n, M), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M * K, B), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, top_k, B), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, top_k, B), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, top_k, B), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, top_k, B), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * M * K * B,
+            bytes_accessed=N * M + M * K * B * 4
+            + n_tiles * top_k * B * 8,
+            transcendentals=0),
+    )(codes_i, table_t)
+
+    # global ids + padding mask, then one merge top-k
+    base = (jnp.arange(n_tiles, dtype=jnp.int32) * tile_n)[:, None, None]
+    gids = i_tiles + base                                  # [T, k, B]
+    d = jnp.where(gids < n_valid, d_tiles, jnp.inf)
+    cand_d = d.transpose(2, 0, 1).reshape(B, n_tiles * top_k)
+    cand_i = gids.transpose(2, 0, 1).reshape(B, n_tiles * top_k)
+    neg, pos = jax.lax.top_k(-cand_d, top_k)
+    return -neg, jnp.take_along_axis(cand_i, pos, axis=1)

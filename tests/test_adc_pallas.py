@@ -1,0 +1,61 @@
+"""Pallas ADC kernel vs the XLA gather path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deltapq_tpu.ops.adc import adc_table, adc_tile_dists
+
+
+def _np_dists(table, codes):
+    B, M, K = table.shape
+    out = np.zeros((B, codes.shape[0]), np.float32)
+    for m in range(M):
+        out += table[:, m, :][:, codes[:, m]]
+    return out
+
+
+@pytest.fixture(scope="module")
+def problem(rng=None):
+    rng = np.random.default_rng(11)
+    B, M, K, N = 8, 4, 16, 256
+    table = rng.normal(size=(B, M, K)).astype(np.float32)
+    codes = rng.integers(0, K, size=(N, M)).astype(np.uint8)
+    return table, codes
+
+
+def test_pallas_dists_interpret(problem, monkeypatch):
+    from jax.experimental import pallas as pl
+    import deltapq_tpu.ops.adc_pallas as ap
+
+    table, codes = problem
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call",
+                        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    d = np.asarray(ap.adc_dists_pallas.__wrapped__(
+        jnp.asarray(table), jnp.asarray(codes), tile_n=64))
+    np.testing.assert_allclose(d, _np_dists(table, codes), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_pallas_topk_interpret(problem, monkeypatch):
+    from jax.experimental import pallas as pl
+    import deltapq_tpu.ops.adc_pallas as ap
+
+    table, codes = problem
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call",
+                        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    d, i = ap.adc_topk_pallas.__wrapped__(
+        jnp.asarray(table), jnp.asarray(codes), jnp.int32(250),
+        top_k=5, tile_n=64)
+    d, i = np.asarray(d), np.asarray(i)
+    full = _np_dists(table, codes)[:, :250]
+    ref_i = np.argsort(full, axis=1, kind="stable")[:, :5]
+    ref_d = np.take_along_axis(full, ref_i, axis=1)
+    np.testing.assert_allclose(d, ref_d, rtol=1e-5, atol=1e-5)
+    assert np.all(i < 250)
+    for b in range(len(d)):
+        assert set(i[b]) == set(ref_i[b]) or np.allclose(d[b], ref_d[b])
