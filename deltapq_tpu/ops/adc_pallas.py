@@ -80,23 +80,41 @@ def adc_dists_pallas(table: jnp.ndarray, codes: jnp.ndarray,
     return out.T  # [B, N]
 
 
-def _adc_topk_kernel(codes_ref, table_ref, out_d_ref, out_i_ref,
-                     *, top_k: int):
-    """One tile: distances + tile-local top-k extraction.
+def _accumulate_onehot(codes, tables, M: int, K: int, B: int,
+                       precision: str) -> jnp.ndarray:
+    """Shared distance accumulation: one-hot x table matmuls.
 
-    codes [TN, M] int32; table [M*K, B] f32;
-    out_d [top_k, B] f32; out_i [top_k, B] int32 (row ids within tile).
+    tables: tuple of [M*K, B] arrays — (f32,) for "f32", (bf16 hi,) for
+    "bf16", (bf16 hi, bf16 lo) for "bf16x2".  The one-hot matrix is
+    exactly representable in bf16, so the hi/lo split reproduces the f32
+    table to ~2^-18 relative (the two products are accumulated in f32).
     """
-    TN, M = codes_ref.shape
-    MK, B = table_ref.shape
-    K = MK // M
-    codes = codes_ref[:]
+    TN = codes.shape[0]
     acc = jnp.zeros((TN, B), jnp.float32)
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (TN, K), 1)
+    oh_dtype = jnp.float32 if precision == "f32" else jnp.bfloat16
     for m in range(M):
-        onehot = (iota_k == codes[:, m][:, None]).astype(jnp.float32)
-        acc = acc + jnp.dot(onehot, table_ref[m * K:(m + 1) * K, :],
-                            preferred_element_type=jnp.float32)
+        onehot = (iota_k == codes[:, m][:, None]).astype(oh_dtype)
+        for t in tables:
+            acc = acc + jnp.dot(onehot, t[m * K:(m + 1) * K, :],
+                                preferred_element_type=jnp.float32)
+    return acc
+
+
+def _adc_topk_kernel(codes_ref, *refs, top_k: int, precision: str):
+    """One tile: distances + tile-local top-k extraction.
+
+    codes [TN, M] int32; one or two table refs [M*K, B];
+    out_d [1, top_k, B] f32; out_i [1, top_k, B] int32 (tile-local rows).
+    """
+    n_tab = 2 if precision == "bf16x2" else 1
+    table_refs = refs[:n_tab]
+    out_d_ref, out_i_ref = refs[n_tab:]
+    TN, M = codes_ref.shape
+    MK, B = table_refs[0].shape
+    K = MK // M
+    acc = _accumulate_onehot(codes_ref[:], [t[:] for t in table_refs],
+                             M, K, B, precision)
     # extract top_k smallest per column with mask-and-argmin
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (TN, B), 0)
     for j in range(top_k):
@@ -107,13 +125,27 @@ def _adc_topk_kernel(codes_ref, table_ref, out_d_ref, out_i_ref,
         acc = jnp.where(iota_n == amin[None, :], jnp.inf, acc)
 
 
-@functools.partial(jax.jit, static_argnames=("top_k", "tile_n"))
+def split_bf16(x: jnp.ndarray):
+    """Split f32 -> (bf16 hi, bf16 lo) with hi + lo ~= x to ~2^-18 rel."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("top_k", "tile_n", "precision"))
 def adc_topk_pallas(table: jnp.ndarray, codes: jnp.ndarray,
-                    n_valid: jnp.ndarray, top_k: int, tile_n: int = 2048
+                    n_valid: jnp.ndarray, top_k: int, tile_n: int = 2048,
+                    precision: str = "bf16x2"
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Streaming ADC scan + top-k, fully fused: per tile only k
     candidates/query leave the kernel.  Returns (dists [B, top_k]
-    ascending, ids [B, top_k] global rows; padding rows masked out)."""
+    ascending, ids [B, top_k] global rows; padding rows masked out).
+
+    precision: "f32" (bit-exact tables, ~4x slower MXU passes),
+    "bf16x2" (hi/lo split, ~2^-18 relative table error — default), or
+    "bf16" (fastest, ~2^-9 relative).
+    """
     B, M, K = table.shape
     N = codes.shape[0]
     assert N % tile_n == 0
@@ -121,14 +153,26 @@ def adc_topk_pallas(table: jnp.ndarray, codes: jnp.ndarray,
     table_t = table.transpose(1, 2, 0).reshape(M * K, B)
     codes_i = codes.astype(jnp.int32)
 
+    if precision == "f32":
+        tables = (table_t,)
+    elif precision == "bf16":
+        tables = (table_t.astype(jnp.bfloat16),)
+    elif precision == "bf16x2":
+        tables = split_bf16(table_t)
+    else:
+        raise ValueError(f"unknown precision {precision!r}")
+
+    table_specs = [pl.BlockSpec((M * K, B), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+                   for _ in tables]
     d_tiles, i_tiles = pl.pallas_call(
-        functools.partial(_adc_topk_kernel, top_k=top_k),
+        functools.partial(_adc_topk_kernel, top_k=top_k,
+                          precision=precision),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((tile_n, M), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((M * K, B), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            *table_specs,
         ],
         out_specs=[
             pl.BlockSpec((1, top_k, B), lambda i: (i, 0, 0),
@@ -141,11 +185,11 @@ def adc_topk_pallas(table: jnp.ndarray, codes: jnp.ndarray,
             jax.ShapeDtypeStruct((n_tiles, top_k, B), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * N * M * K * B,
+            flops=2 * N * M * K * B * len(tables),
             bytes_accessed=N * M + M * K * B * 4
             + n_tiles * top_k * B * 8,
             transcendentals=0),
-    )(codes_i, table_t)
+    )(codes_i, *tables)
 
     # global ids + padding mask, then one merge top-k
     base = (jnp.arange(n_tiles, dtype=jnp.int32) * tile_n)[:, None, None]
