@@ -167,37 +167,48 @@ def build_layout(codes: np.ndarray, edges: np.ndarray, root_id: int,
     counts = np.bincount(par_sorted, minlength=n)
     offsets = np.concatenate([[0], np.cumsum(counts)])
 
-    # iterative DFS producing the exact dfs_node_layout ordering
-    dfs_vec = np.empty(n, np.uint32)
-    dfs_parent = np.empty(n, np.int32)
-    dfs_depth = np.empty(n, np.uint8)
-    pos_of = np.empty(n, np.int64)
-
-    dfs_vec[0] = root_id
-    dfs_parent[0] = -1
-    dfs_depth[0] = 0
-    pos_of[root_id] = 0
-    # explicit-stack DFS; children visited in CSR (sorted) order
-    idx = 1
-    cur = offsets.copy()
-    stack_arr = np.empty(n + 1, np.int64)
-    sp = 0
-    stack_arr[0] = root_id
-    while sp >= 0:
-        v = stack_arr[sp]
-        if cur[v] < offsets[v + 1]:
-            c = child_sorted[cur[v]]
-            cur[v] += 1
-            dfs_vec[idx] = c
-            dfs_parent[idx] = pos_of[v]
-            dfs_depth[idx] = dfs_depth[pos_of[v]] + 1
-            pos_of[c] = idx
-            idx += 1
-            sp += 1
-            stack_arr[sp] = c
-        else:
-            sp -= 1
-    assert idx == n, f"forest not fully reachable from root: {idx} != {n}"
+    # iterative DFS producing the exact dfs_node_layout ordering;
+    # C++ fast path (native/dtc_native.cpp dfs_layout) with a Python
+    # explicit-stack fallback
+    native_out = None
+    try:
+        from ..native import dfs_layout_native
+        native_out = dfs_layout_native(
+            n, child_sorted.astype(np.uint32), offsets.astype(np.int64),
+            int(root_id))
+    except Exception:
+        native_out = None
+    if native_out is not None:
+        dfs_vec, dfs_parent, dfs_depth, pos_of = native_out
+    else:
+        dfs_vec = np.empty(n, np.uint32)
+        dfs_parent = np.empty(n, np.int32)
+        dfs_depth = np.empty(n, np.uint8)
+        pos_of = np.empty(n, np.int64)
+        dfs_vec[0] = root_id
+        dfs_parent[0] = -1
+        dfs_depth[0] = 0
+        pos_of[root_id] = 0
+        idx = 1
+        cur = offsets.copy()
+        stack_arr = np.empty(n + 1, np.int64)
+        sp = 0
+        stack_arr[0] = root_id
+        while sp >= 0:
+            v = stack_arr[sp]
+            if cur[v] < offsets[v + 1]:
+                c = child_sorted[cur[v]]
+                cur[v] += 1
+                dfs_vec[idx] = c
+                dfs_parent[idx] = pos_of[v]
+                dfs_depth[idx] = dfs_depth[pos_of[v]] + 1
+                pos_of[c] = idx
+                idx += 1
+                sp += 1
+                stack_arr[sp] = c
+            else:
+                sp -= 1
+        assert idx == n, f"forest not reachable from root: {idx} != {n}"
 
     # child_pos_start / child_num (descendant count, :1160,:1182).
     # A DFS subtree of position i ends just before the next position with

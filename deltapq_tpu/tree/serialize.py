@@ -103,6 +103,7 @@ def read_dtc_raw(path: str) -> Tuple[int, np.ndarray]:
 
 
 def deserialize_dtc(stream: np.ndarray, n_codes: int, M: int,
+                    use_native: bool = True,
                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Parse a DTC stream -> (depth [N], bitmap [N], diff_to ragged,
     diff_off [N+1]).  Position 0 is the root (depth 0, bitmap 0xff for
@@ -110,9 +111,18 @@ def deserialize_dtc(stream: np.ndarray, n_codes: int, M: int,
 
     The stream is inherently sequential (record sizes are
     data-dependent), mirroring the reference decoder's pointer walk
-    (``query_processing_..._in_memory``, ``:3786-3858``); this Python
-    parser is for correctness/parity and load-time decode.
+    (``query_processing_..._in_memory``, ``:3786-3858``); the C++
+    parser (native/dtc_native.cpp) is used when available, with this
+    Python loop as fallback.
     """
+    if use_native:
+        try:
+            from ..native import dtc_parse_native
+            out = dtc_parse_native(stream, n_codes, M)
+            if out is not None:
+                return out
+        except Exception:
+            pass
     stream = np.asarray(stream, np.uint8)
     depths = np.zeros(n_codes, np.uint8)
     bitmaps = np.zeros(n_codes, np.uint8)
@@ -157,15 +167,25 @@ def deserialize_dtc(stream: np.ndarray, n_codes: int, M: int,
     return depths, bitmaps, np.concatenate(diff_tos), diff_off
 
 
-def decode_dtc_to_codes(stream: np.ndarray, n_codes: int, M: int
-                        ) -> np.ndarray:
+def decode_dtc_to_codes(stream: np.ndarray, n_codes: int, M: int,
+                        use_native: bool = True) -> np.ndarray:
     """Full lossless decode of a DTC stream to the [N, M] code array
     (row order = DFS order; use the tree's vec_id to map to db order).
 
     Uses the depth-stack discipline of the reference decoder: DFS order
-    means a node's parent state lives at stack[depth-1].
+    means a node's parent state lives at stack[depth-1].  Prefers the
+    C++ decoder (native/dtc_native.cpp).
     """
-    depths, bitmaps, diff_to, diff_off = deserialize_dtc(stream, n_codes, M)
+    if use_native:
+        try:
+            from ..native import dtc_decode_native
+            out = dtc_decode_native(stream, n_codes, M)
+            if out is not None:
+                return out
+        except Exception:
+            pass
+    depths, bitmaps, diff_to, diff_off = deserialize_dtc(
+        stream, n_codes, M, use_native=False)
     codes = np.zeros((n_codes, M), np.uint8)
     stack = np.zeros((16 + 2, M), np.uint8)
     stack[0] = diff_to[:M]

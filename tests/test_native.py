@@ -43,7 +43,8 @@ def test_native_decode_matches_python(tree_fixture):
 
 def test_native_parse_matches_python(tree_fixture):
     codes, cw, tree, stream = tree_fixture
-    pd, pb, pt, po = deserialize_dtc(stream, tree.n, tree.M)
+    pd, pb, pt, po = deserialize_dtc(stream, tree.n, tree.M,
+                                     use_native=False)
     nd, nb, nt, no = dtc_parse_native(stream, tree.n, tree.M)
     np.testing.assert_array_equal(pd, nd)
     np.testing.assert_array_equal(pb, nb)
