@@ -132,6 +132,50 @@ def split_bf16(x: jnp.ndarray):
     return hi, lo
 
 
+_ROW_BITS = 12  # tile-local row id packed into the low mantissa bits
+
+
+def _adc_topk_packed_kernel(codes_ref, *refs, top_k: int, precision: str):
+    """Fast top-k: distances bitcast to order-preserving int32 with the
+    tile-local row id packed into the low 12 bits (squared-L2 >= 0, so
+    the f32 bit pattern is monotone).  Every packed value is unique, so
+    the j-th extraction is ONE fused sweep:
+
+        t_j = min over rows of (packed where packed > t_{j-1})
+
+    — no masking state, ~k+2 VPU sweeps/tile instead of ~4k, which lets
+    the MXU matmul (pipelined across grid steps) become the bound.
+    Selection order is exact on (value truncated to 2^-12 rel, row id);
+    exact distances are recovered by the caller from the winner ids.
+    """
+    n_valid_ref = refs[0]
+    n_tab = 2 if precision == "bf16x2" else 1
+    table_refs = refs[1:1 + n_tab]
+    out_ref = refs[1 + n_tab]
+    TN, M = codes_ref.shape
+    MK, B = table_refs[0].shape
+    K = MK // M
+    acc = _accumulate_onehot(codes_ref[:], [t[:] for t in table_refs],
+                             M, K, B, precision)
+    bits = jax.lax.bitcast_convert_type(acc, jnp.int32)
+    # order-preserving int32 key for any-sign floats: flip the low 31
+    # bits of negative values (squared-L2 is >= 0, but delta-accumulated
+    # distances can round slightly negative)
+    bits = bits ^ ((bits >> 31) & jnp.int32(0x7FFFFFFF))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TN, B), 0)
+    mask = jnp.int32(~((1 << _ROW_BITS) - 1))
+    packed = (bits & mask) | rows
+    big = jnp.int32(0x7FFFFFFF)
+    # mask padding rows (beyond the true database size)
+    tile_base = pl.program_id(0) * TN
+    packed = jnp.where(tile_base + rows < n_valid_ref[0, 0], packed, big)
+    last = jnp.full((B,), -0x80000000, jnp.int32)
+    for j in range(top_k):
+        cand = jnp.where(packed > last[None, :], packed, big)
+        last = jnp.min(cand, axis=0)
+        out_ref[0, j, :] = last
+
+
 @functools.partial(jax.jit,
                    static_argnames=("top_k", "tile_n", "precision"))
 def adc_topk_pallas(table: jnp.ndarray, codes: jnp.ndarray,
@@ -199,3 +243,81 @@ def adc_topk_pallas(table: jnp.ndarray, codes: jnp.ndarray,
     cand_i = gids.transpose(2, 0, 1).reshape(B, n_tiles * top_k)
     neg, pos = jax.lax.top_k(-cand_d, top_k)
     return -neg, jnp.take_along_axis(cand_i, pos, axis=1)
+
+
+def _exact_dists_for_ids(table: jnp.ndarray, codes: jnp.ndarray,
+                         ids: jnp.ndarray) -> jnp.ndarray:
+    """Recompute exact f32 distances for the final [B, k] winner ids."""
+    B, M, K = table.shape
+    cw = codes[ids]  # [B, k, M] via XLA gather (tiny)
+    tf = table.reshape(B, M * K)
+    out = jnp.zeros(ids.shape, jnp.float32)
+    for m in range(M):
+        out = out + jnp.take_along_axis(
+            tf, m * K + cw[:, :, m].astype(jnp.int32), axis=1)
+    return out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("top_k", "tile_n", "precision"))
+def adc_topk_packed(table: jnp.ndarray, codes: jnp.ndarray,
+                    n_valid: jnp.ndarray, top_k: int, tile_n: int = 4096,
+                    precision: str = "bf16x2"
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fast fused ADC scan + top-k via packed int32 selection.
+
+    Selection key is (distance truncated to ~2^-12 relative, row id);
+    reported distances are exact f32 recomputed for the winners.
+    Returns (dists [B, top_k] ascending by the packed key, ids).
+    """
+    B, M, K = table.shape
+    N = codes.shape[0]
+    assert N % tile_n == 0 and tile_n <= (1 << _ROW_BITS)
+    n_tiles = N // tile_n
+    table_t = table.transpose(1, 2, 0).reshape(M * K, B)
+    codes_i = codes.astype(jnp.int32)
+
+    if precision == "f32":
+        tables = (table_t,)
+    elif precision == "bf16":
+        tables = (table_t.astype(jnp.bfloat16),)
+    elif precision == "bf16x2":
+        tables = split_bf16(table_t)
+    else:
+        raise ValueError(f"unknown precision {precision!r}")
+
+    table_specs = [pl.BlockSpec((M * K, B), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+                   for _ in tables]
+    packed = pl.pallas_call(
+        functools.partial(_adc_topk_packed_kernel, top_k=top_k,
+                          precision=precision),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile_n, M), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            *table_specs,
+        ],
+        out_specs=pl.BlockSpec((1, top_k, B), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, top_k, B), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * M * K * B * len(tables),
+            bytes_accessed=N * M + M * K * B * 4 * len(tables)
+            + n_tiles * top_k * B * 4,
+            transcendentals=0),
+    )(codes_i, jnp.asarray(n_valid, jnp.int32).reshape(1, 1), *tables)
+
+    # merge across tiles on the packed keys
+    rows = packed & ((1 << _ROW_BITS) - 1)                  # [T, k, B]
+    base = (jnp.arange(n_tiles, dtype=jnp.int32) * tile_n)[:, None, None]
+    gids = rows + base
+    key = jnp.where(gids < n_valid, packed, jnp.int32(0x7FFFFFFF))
+    cand_key = key.transpose(2, 0, 1).reshape(B, n_tiles * top_k)
+    cand_i = gids.transpose(2, 0, 1).reshape(B, n_tiles * top_k)
+    neg, pos = jax.lax.top_k(-cand_key, top_k)
+    ids = jnp.take_along_axis(cand_i, pos, axis=1)
+    dists = _exact_dists_for_ids(table, codes_i, ids)
+    return dists, ids

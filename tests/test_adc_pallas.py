@@ -59,3 +59,48 @@ def test_pallas_topk_interpret(problem, monkeypatch):
     assert np.all(i < 250)
     for b in range(len(d)):
         assert set(i[b]) == set(ref_i[b]) or np.allclose(d[b], ref_d[b])
+
+
+def test_pallas_packed_topk_interpret(problem, monkeypatch):
+    from jax.experimental import pallas as pl
+    import deltapq_tpu.ops.adc_pallas as ap
+
+    table, codes = problem
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call",
+                        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    d, i = ap.adc_topk_packed.__wrapped__(
+        jnp.asarray(table), jnp.asarray(codes), jnp.int32(250),
+        top_k=5, tile_n=64, precision="f32")
+    d, i = np.asarray(d), np.asarray(i)
+    full = _np_dists(table, codes)[:, :250]
+    ref_i = np.argsort(full, axis=1, kind="stable")[:, :5]
+    ref_d = np.take_along_axis(full, ref_i, axis=1)
+    # packed selection truncates values to ~2^-12 rel for ordering;
+    # distances themselves are exact for the selected ids
+    np.testing.assert_allclose(np.sort(d, axis=1), ref_d, rtol=1e-3,
+                               atol=1e-3)
+    assert np.all(i < 250)
+    for b in range(len(d)):
+        exact = full[b][i[b]]
+        np.testing.assert_allclose(np.sort(exact), ref_d[b], rtol=1e-3)
+
+
+def test_pallas_packed_topk_duplicate_codes(monkeypatch):
+    """Duplicate codes (equal distances) must still yield k distinct ids."""
+    from jax.experimental import pallas as pl
+    import deltapq_tpu.ops.adc_pallas as ap
+
+    rng = np.random.default_rng(3)
+    B, M, K, N = 4, 4, 16, 128
+    table = np.abs(rng.normal(size=(B, M, K))).astype(np.float32)
+    codes = np.tile(rng.integers(0, K, size=(1, M)), (N, 1)).astype(np.uint8)
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call",
+                        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    d, i = ap.adc_topk_packed.__wrapped__(
+        jnp.asarray(table), jnp.asarray(codes), jnp.int32(N),
+        top_k=8, tile_n=32, precision="f32")
+    i = np.asarray(i)
+    for b in range(B):
+        assert len(set(i[b].tolist())) == 8  # distinct ids despite ties
