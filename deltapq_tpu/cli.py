@@ -61,6 +61,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard over this many devices (0 = single device)")
     p.add_argument("-metrics_out", default=None,
                    help="write stage metrics JSON to this path")
+    p.add_argument("-rand_sample", type=int, default=0,
+                   help="query task: self-query random base vectors, "
+                        "report the code Hamming histogram "
+                        "(reference -rand_sample, main.cpp:522-562)")
+    p.add_argument("-synth", type=int, default=0,
+                   help="encode task: generate a synthetic chain-code "
+                        "dataset instead of encoding base vectors "
+                        "(reference -synth, main.cpp:443-462)")
+    p.add_argument("-src_a", default=None, help="combine: first code file")
+    p.add_argument("-src_b", default=None, help="combine: second code file")
     return p
 
 
@@ -125,6 +135,15 @@ def task_encode(args, metrics: Metrics):
     from .ops import pq_encode
 
     cfg = PQConfig(M=args.m, K=args.k)
+    if args.synth:
+        from .synth import chain_codes
+
+        n = args.N if args.N > 0 else 100_000
+        codes = chain_codes(n, M=args.m, K=args.k, seed=args.seed)
+        out = os.path.join(args.dataset, codes_filename(cfg, n))
+        write_codes(out, codes)
+        print(f"{n} synthetic chain codes written to {out}")
+        return
     cw = read_codewords(os.path.join(args.dataset, codewords_filename(cfg)))
     base = os.path.join(args.dataset, f"base.{args.ext}")
     total = num_vectors(base, args.ext)
@@ -139,6 +158,44 @@ def task_encode(args, metrics: Metrics):
     out = os.path.join(args.dataset, codes_filename(cfg, len(codes)))
     write_codes(out, codes)
     print(f"{len(codes)} codes written to {out}")
+
+
+def task_combine(args, metrics: Metrics):
+    """Merge two code files (reference ``combine``, ``main.cpp:283-313``)."""
+    cfg = PQConfig(M=args.m, K=args.k)
+    a, _ = read_codes(args.src_a, M=args.m, K=args.k)
+    b, _ = read_codes(args.src_b, M=args.m, K=args.k)
+    combined = np.concatenate([a, b])
+    out = os.path.join(args.dataset, codes_filename(cfg, len(combined)))
+    write_codes(out, combined)
+    print(f"{len(a)} + {len(b)} codes combined into {out}")
+
+
+def task_rand_sample(args, metrics: Metrics):
+    """Self-query sampled base vectors excluding the query row; report
+    the code Hamming histogram (``SampledQuery``, ``pq_tree.cpp:278-392``,
+    ``main.cpp:522-562``)."""
+    from .ops import query_plain
+    from .eval.metrics import code_hamming_hist
+
+    cfg = PQConfig(M=args.m, K=args.k)
+    cw = read_codewords(os.path.join(args.dataset, codewords_filename(cfg)))
+    codes = _load_codes(args)
+    n_sample = args.rand_sample if args.rand_sample > 1 else \
+        (args.query_size if args.query_size > 0 else 1000)
+    rng = np.random.default_rng(args.seed)
+    ids = rng.integers(0, len(codes), min(n_sample, len(codes)))
+    base = read_vecs(os.path.join(args.dataset, f"base.{args.ext}"),
+                     ext=args.ext)
+    q = base[ids]
+    with metrics.stage("query"):
+        d, i = query_plain(cw, q, codes, top_k=2)
+    # top-1 excluding the query row itself
+    nn = np.where(i[:, 0] == ids, i[:, 1], i[:, 0])
+    hist = code_hamming_hist(codes[ids], codes[nn])
+    for h, c in enumerate(hist):
+        print(f"dist_hist[{h}] = {c}")
+    metrics.set("dist_hist", hist.tolist())
 
 
 def task_groundtruth(args, metrics: Metrics):
@@ -330,6 +387,8 @@ def task_update(args, metrics: Metrics):
 TASKS = {
     "learn": task_learn,
     "encode": task_encode,
+    "combine": task_combine,
+    "rand_sample": task_rand_sample,
     "groundtruth": task_groundtruth,
     "query": task_query,
     "pqscan": task_query,

@@ -98,3 +98,15 @@ def true_distances(base: np.ndarray, queries: np.ndarray,
         diff = base[ids[q]] - queries[q][None, :]
         out[q] = np.sum(diff * diff, axis=1)
     return out
+
+
+def code_hamming_hist(query_codes: np.ndarray, nn_codes: np.ndarray,
+                      M: Optional[int] = None) -> np.ndarray:
+    """Histogram over 0..M of the subspace Hamming distance between each
+    query's PQ code and its nearest neighbor's code (reference
+    ``SampledQuery`` ``dist_hist``, ``pq_tree.cpp:278-392`` /
+    ``main.cpp:541-562``)."""
+    if M is None:
+        M = query_codes.shape[1]
+    h = (query_codes != nn_codes).sum(axis=1)
+    return np.bincount(h, minlength=M + 1)

@@ -107,12 +107,15 @@ def pad_codes(codes: np.ndarray, tile_n: int) -> np.ndarray:
 
 
 def query_plain(codewords: np.ndarray, queries: np.ndarray,
-                codes: np.ndarray, top_k: int = 10, tile_n: int = 16384
+                codes: np.ndarray, top_k: int = 10, tile_n: int = 16384,
+                engine: str = "auto"
                 ) -> Tuple[np.ndarray, np.ndarray]:
     """End-to-end plain ADC query (reference ``PQTree::QueryPlain``,
     ``pq_tree.cpp:434-503``): build tables, scan, top-k.
 
-    Returns (dists [B, top_k], ids [B, top_k]) as NumPy arrays.
+    engine: "xla" (gather scan, exact, runs everywhere), "pallas"
+    (one-hot MXU kernel + packed top-k, TPU only), or "auto" (pallas on
+    TPU, xla otherwise).  Returns (dists [B, top_k], ids [B, top_k]).
     """
     codewords = jnp.asarray(codewords, jnp.float32)
     M, K, Ds = codewords.shape
@@ -121,6 +124,19 @@ def query_plain(codewords: np.ndarray, queries: np.ndarray,
     if q.shape[1] < D:
         q = np.pad(q, ((0, 0), (0, D - q.shape[1])))
     n_valid = codes.shape[0]
+    if engine == "auto":
+        # axon = the remote-TPU platform plugin
+        engine = ("pallas" if jax.default_backend() in ("tpu", "axon")
+                  else "xla")
+    if engine == "pallas":
+        from .adc_pallas import adc_topk_packed
+
+        ptile = 4096
+        codes_p = pad_codes(np.asarray(codes), ptile)
+        table = adc_table(codewords, jnp.asarray(q))
+        d, i = adc_topk_packed(table, jnp.asarray(codes_p),
+                               jnp.int32(n_valid), top_k, ptile)
+        return np.asarray(d), np.asarray(i)
     tile_n = min(tile_n, max(256, 1 << (n_valid - 1).bit_length()))
     codes_p = pad_codes(np.asarray(codes), tile_n)
     table = adc_table(codewords, jnp.asarray(q))

@@ -309,6 +309,9 @@ def adc_topk_packed(table: jnp.ndarray, codes: jnp.ndarray,
             + n_tiles * top_k * B * 4,
             transcendentals=0),
     )(codes_i, jnp.asarray(n_valid, jnp.int32).reshape(1, 1), *tables)
+    # keep XLA's memory-space assignment from pinning the full [T, k, B]
+    # result in VMEM (it OOMs scoped vmem when fused with the merge)
+    packed = jax.lax.optimization_barrier(packed)
 
     # merge across tiles on the packed keys
     rows = packed & ((1 << _ROW_BITS) - 1)                  # [T, k, B]

@@ -74,3 +74,28 @@ def test_full_pipeline(dataset_dir, capsys):
 
 def test_sharded_query_cli(dataset_dir):
     run(dataset_dir, "-task", "query", "-topk", "5", "-shards", "4")
+
+
+def test_synth_and_combine_and_rand_sample(dataset_dir, tmp_path):
+    # synthetic chain dataset written as a code file
+    run(dataset_dir, "-task", "encode", "-synth", "1", "-N", "500")
+    import numpy as np
+    from deltapq_tpu.io import read_codes
+    codes, _ = read_codes(os.path.join(dataset_dir,
+                                       "codes.bin.plain.M8K32N500"), M=8)
+    # chain property: consecutive codes differ in exactly one subspace
+    diffs = (codes[1:] != codes[:-1]).sum(axis=1)
+    assert (diffs == 1).all()
+
+    # combine two code files
+    a = os.path.join(dataset_dir, "codes.bin.plain.M8K32N3000")
+    run(dataset_dir, "-task", "combine", "-src_a", a, "-src_b",
+        os.path.join(dataset_dir, "codes.bin.plain.M8K32N500"))
+    comb, _ = read_codes(os.path.join(dataset_dir,
+                                      "codes.bin.plain.M8K32N3500"), M=8)
+    assert comb.shape == (3500, 8)
+    os.remove(os.path.join(dataset_dir, "codes.bin.plain.M8K32N3500"))
+    os.remove(os.path.join(dataset_dir, "codes.bin.plain.M8K32N500"))
+
+    # rand_sample self-query histogram
+    run(dataset_dir, "-task", "rand_sample", "-rand_sample", "50")

@@ -75,3 +75,11 @@ def test_epsilon_recall_exact_retrieval(rng):
     assert out2["eps_recall"] == 1.0
     assert out2["recall_true"] >= 0.9
     assert abs(out2["k_app_ratio"] - 1.0) < 1e-3
+
+
+def test_code_hamming_hist():
+    from deltapq_tpu.eval.metrics import code_hamming_hist
+    q = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9]], np.uint8)
+    nn = np.array([[1, 2, 3], [4, 0, 0], [0, 0, 0]], np.uint8)
+    h = code_hamming_hist(q, nn)
+    np.testing.assert_array_equal(h, [1, 0, 1, 1])
