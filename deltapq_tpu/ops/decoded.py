@@ -1,0 +1,154 @@
+"""Decoded-cache ADC engine — the high-QPS tier.
+
+The ADC distance decomposes exactly (quadratic expansion):
+
+    dist[n, b] = sum_m T[b, m, codes[n, m]]
+               = ||q_b||^2 + precomp[n] - 2 * (xhat_n . q_b)
+
+where ``xhat_n`` is the PQ-decoded vector (concatenated centroids) and
+``precomp[n] = sum_m ||c_{m, codes[n,m]}||^2``.  The scan becomes a
+dense [N, D] @ [D, B] matmul on the MXU with **no gathers and no
+one-hot construction at query time** — HBM-bound on the decoded cache.
+
+Memory/speed tier: costs D*4 bytes/vector (hi+lo bf16 split ~ f32-exact)
+vs M bytes for raw codes; the Pallas one-hot kernel (adc_pallas.py)
+remains the low-memory tier.  The reference has no such tier (its scan
+is the byte-stream loop, ``deltapq_create_approx_tree.h:2805``); this is
+a TPU-native design choice: trade cheap HBM for MXU-friendly layout.
+
+Exactness: bf16 hi/lo matmuls accumulated in f32 give the cross term to
+~2^-18 relative; the final candidates are **reranked with exact f32
+table lookups**, so reported distances equal the plain ADC scan and the
+shortlist (default 8x top_k) makes ranking mismatches vanishingly rare.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_decoded_cache(codewords: np.ndarray, codes: np.ndarray,
+                        batch: int = 262144):
+    """Returns (xhat_hi bf16 [N, D], xhat_lo bf16 [N, D], precomp f32 [N]).
+
+    hi + lo reproduces the f32 decoded vector to ~2^-18 relative.
+    """
+    codewords = np.asarray(codewords, np.float32)
+    M, K, Ds = codewords.shape
+    c2 = np.sum(codewords * codewords, axis=2)  # [M, K]
+    n = codes.shape[0]
+    D = M * Ds
+    hi = np.empty((n, D), jnp.bfloat16)
+    lo = np.empty((n, D), jnp.bfloat16)
+    precomp = np.zeros(n, np.float32)
+    for off in range(0, n, batch):
+        c = codes[off:off + batch].astype(np.int64)
+        x = np.empty((len(c), D), np.float32)
+        for m in range(M):
+            x[:, m * Ds:(m + 1) * Ds] = codewords[m][c[:, m]]
+            precomp[off:off + batch] += c2[m][c[:, m]]
+        h = x.astype(jnp.bfloat16)
+        hi[off:off + batch] = h
+        lo[off:off + batch] = (x - h.astype(np.float32)).astype(jnp.bfloat16)
+    return hi, lo, precomp
+
+
+@functools.partial(jax.jit, static_argnames=("top_k", "tile_n"))
+def decoded_topk(xhat_hi: jnp.ndarray, xhat_lo: jnp.ndarray,
+                 precomp: jnp.ndarray, table: jnp.ndarray,
+                 codes: jnp.ndarray, queries: jnp.ndarray,
+                 n_valid: jnp.ndarray, top_k: int, tile_n: int = 131072
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full decoded-tier query: matmul scan + shortlist + exact rerank.
+
+    xhat_* [N_pad, D]; precomp [N_pad]; table [B, M, K] (for the exact
+    rerank); codes [N_pad, M]; queries [B, D] f32.
+    Returns (dists [B, top_k] exact f32 ascending, ids).
+    """
+    B, D = queries.shape
+    N = xhat_hi.shape[0]
+    assert N % tile_n == 0
+    n_tiles = N // tile_n
+    shortlist = min(max(4 * top_k, 32), 1024)
+
+    q_hi = queries.astype(jnp.bfloat16)
+    q_lo = (queries - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    q2 = jnp.sum(queries * queries, axis=1)  # [B]
+
+    hi_t = xhat_hi.reshape(n_tiles, tile_n, D)
+    lo_t = xhat_lo.reshape(n_tiles, tile_n, D)
+    pre_t = precomp.reshape(n_tiles, tile_n)
+
+    def step(carry, inp):
+        best_d, best_i = carry
+        t_idx, h, l, pre = inp
+        # cross = xhat . q in ~f32 precision via 3 bf16 matmuls
+        cross = (jnp.dot(h, q_hi.T, preferred_element_type=jnp.float32)
+                 + jnp.dot(h, q_lo.T, preferred_element_type=jnp.float32)
+                 + jnp.dot(l, q_hi.T, preferred_element_type=jnp.float32))
+        d = pre[:, None] - 2.0 * cross + q2[None, :]  # [tile, B]
+        d = d.T  # [B, tile]
+        ids = t_idx * tile_n + jax.lax.broadcasted_iota(
+            jnp.int32, (1, tile_n), 1)
+        d = jnp.where(ids < n_valid, d, jnp.inf)
+        cat_d = jnp.concatenate([best_d, d], axis=1)
+        cat_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(ids, (B, tile_n))], axis=1)
+        neg, pos = jax.lax.top_k(-cat_d, shortlist)
+        return (-neg, jnp.take_along_axis(cat_i, pos, axis=1)), None
+
+    init = (jnp.full((B, shortlist), jnp.inf, jnp.float32),
+            jnp.full((B, shortlist), -1, jnp.int32))
+    (cand_d, cand_i), _ = jax.lax.scan(
+        step, init, (jnp.arange(n_tiles, dtype=jnp.int32), hi_t, lo_t,
+                     pre_t))
+
+    # exact rerank of the shortlist with f32 table lookups
+    M = table.shape[1]
+    K = table.shape[2]
+    tf = table.reshape(B, M * K)
+    cw = codes[jnp.clip(cand_i, 0, N - 1)].astype(jnp.int32)  # [B, S, M]
+    exact = jnp.zeros(cand_i.shape, jnp.float32)
+    for m in range(M):
+        exact = exact + jnp.take_along_axis(tf, m * K + cw[:, :, m], axis=1)
+    exact = jnp.where(cand_i >= 0, exact, jnp.inf)
+    neg, pos = jax.lax.top_k(-exact, top_k)
+    return -neg, jnp.take_along_axis(cand_i, pos, axis=1)
+
+
+class DecodedEngine:
+    """Stateful wrapper holding the device-resident decoded cache."""
+
+    def __init__(self, codewords: np.ndarray, codes: np.ndarray,
+                 tile_n: int = 131072):
+        from .adc import adc_table, pad_codes
+
+        self._adc_table = adc_table
+        self.codewords = jnp.asarray(codewords, jnp.float32)
+        M, K, Ds = codewords.shape
+        self.D = M * Ds
+        self.n_valid = codes.shape[0]
+        self.tile_n = min(tile_n, max(1024, 1 << (self.n_valid - 1)
+                                      .bit_length()))
+        codes_p = pad_codes(np.asarray(codes), self.tile_n)
+        hi, lo, pre = build_decoded_cache(codewords, codes_p)
+        self.xhat_hi = jnp.asarray(hi)
+        self.xhat_lo = jnp.asarray(lo)
+        self.precomp = jnp.asarray(pre)
+        self.codes = jnp.asarray(codes_p)
+
+    def query(self, queries: np.ndarray, top_k: int = 10
+              ) -> Tuple[np.ndarray, np.ndarray]:
+        q = np.asarray(queries, np.float32)
+        if q.shape[1] < self.D:
+            q = np.pad(q, ((0, 0), (0, self.D - q.shape[1])))
+        table = self._adc_table(self.codewords, jnp.asarray(q))
+        d, i = decoded_topk(self.xhat_hi, self.xhat_lo, self.precomp,
+                            table, self.codes, jnp.asarray(q),
+                            jnp.int32(self.n_valid), top_k, self.tile_n)
+        return np.asarray(d), np.asarray(i)

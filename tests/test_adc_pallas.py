@@ -104,3 +104,22 @@ def test_pallas_packed_topk_duplicate_codes(monkeypatch):
     i = np.asarray(i)
     for b in range(B):
         assert len(set(i[b].tolist())) == 8  # distinct ids despite ties
+
+
+def test_decoded_engine_matches_plain(rng=None):
+    import numpy as np
+    from deltapq_tpu.ops.decoded import DecodedEngine
+    from deltapq_tpu.ops import query_plain
+
+    rng = np.random.default_rng(21)
+    M, K, Ds, N, B = 4, 16, 8, 3000, 6
+    cw = rng.normal(size=(M, K, Ds)).astype(np.float32)
+    codes = rng.integers(0, K, size=(N, M)).astype(np.uint8)
+    q = rng.normal(size=(B, M * Ds)).astype(np.float32)
+    eng = DecodedEngine(cw, codes, tile_n=1024)
+    d_e, i_e = eng.query(q, top_k=10)
+    d_p, i_p = query_plain(cw, q, codes, top_k=10, engine="xla")
+    np.testing.assert_allclose(d_e, d_p, rtol=1e-5, atol=1e-5)
+    for b in range(B):
+        assert set(i_e[b]) == set(i_p[b]) or np.allclose(d_e[b], d_p[b],
+                                                         rtol=1e-5)
