@@ -109,31 +109,42 @@ def _level_step(dist: jnp.ndarray, table_flat: jnp.ndarray,
 def make_compressed_query_fn(pack: DeltaPack):
     """Build a jitted function (table [B, M, K]) -> dists [B, N_db]
     running the full level-wise traversal.  Shapes are baked per index
-    (one compile per dataset, like the reference's per-file decode)."""
+    (one compile per dataset, like the reference's per-file decode).
+
+    The level arrays are passed as jit *arguments* (a pytree captured in
+    a partial), not closure constants — closure-captured device arrays
+    are baked into the serialized HLO, which breaks remote-compile
+    backends for large indexes.
+    """
     levels_dev = [
         (jnp.asarray(lp.node_pos), jnp.asarray(lp.parent_pos),
          jnp.asarray(lp.seg), jnp.asarray(lp.dm * pack.K + lp.dto),
-         jnp.asarray(lp.dm * pack.K + lp.dfrom), len(lp.node_pos))
+         jnp.asarray(lp.dm * pack.K + lp.dfrom))
         for lp in pack.levels]
+    level_sizes = tuple(len(lp.node_pos) for lp in pack.levels)
     root_idx = jnp.asarray(np.arange(pack.M, dtype=np.int32) * pack.K
                            + pack.root_code)
     vec_id = jnp.asarray(pack.vec_id)
     n = pack.n
 
-    @jax.jit
-    def run(table: jnp.ndarray) -> jnp.ndarray:
+    @functools.partial(jax.jit, static_argnames=("sizes",))
+    def run_impl(table, levels, root_idx, vec_id, sizes):
         B = table.shape[0]
         tf = table.reshape(B, -1)
         dist = jnp.zeros((B, n), jnp.float32)
         root_d = jnp.sum(jnp.take(tf, root_idx, axis=1), axis=1)
         dist = dist.at[:, 0].set(root_d)
-        for (node, parent, seg, midx_to, midx_from, n_lvl) in levels_dev:
+        for (node, parent, seg, midx_to, midx_from), n_lvl in zip(
+                levels, sizes):
             dist = _level_step(dist, tf, node, parent, seg,
                                midx_to, midx_from, n_lvl)
         # permute DFS-position distances back to database id order
         inv = jnp.zeros(n, jnp.int32).at[vec_id].set(
             jnp.arange(n, dtype=jnp.int32))
         return jnp.take(dist, inv, axis=1)
+
+    def run(table: jnp.ndarray) -> jnp.ndarray:
+        return run_impl(table, levels_dev, root_idx, vec_id, level_sizes)
 
     return run
 
