@@ -71,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(reference -synth, main.cpp:443-462)")
     p.add_argument("-src_a", default=None, help="combine: first code file")
     p.add_argument("-src_b", default=None, help="combine: second code file")
+    p.add_argument("-engine", default="auto",
+                   choices=["auto", "xla", "pallas", "decoded"],
+                   help="plain-scan engine (see docs/ARCHITECTURE.md)")
     return p
 
 
@@ -229,8 +232,13 @@ def task_query(args, metrics: Metrics):
             mesh = make_mesh(args.shards)
             d, i = sharded_query_plain(cw, q, codes, top_k=args.topk,
                                        mesh=mesh)
+        elif args.engine == "decoded":
+            from .ops.decoded import DecodedEngine
+            eng = DecodedEngine(cw, codes)
+            d, i = eng.query(q, top_k=args.topk)
         else:
-            d, i = query_plain(cw, q, codes, top_k=args.topk)
+            d, i = query_plain(cw, q, codes, top_k=args.topk,
+                               engine=args.engine)
     dt = time.perf_counter() - t0
     print(f"{dt / len(q) * 1000:.4f} [msec/query]")
     if args.debug:
