@@ -58,23 +58,31 @@ def build_decoded_cache(codewords: np.ndarray, codes: np.ndarray,
     return hi, lo, precomp
 
 
-@functools.partial(jax.jit, static_argnames=("top_k", "tile_n"))
+@functools.partial(jax.jit,
+                   static_argnames=("top_k", "tile_n", "exact_select"))
 def decoded_topk(xhat_hi: jnp.ndarray, xhat_lo: jnp.ndarray,
                  precomp: jnp.ndarray, table: jnp.ndarray,
                  codes: jnp.ndarray, queries: jnp.ndarray,
-                 n_valid: jnp.ndarray, top_k: int, tile_n: int = 131072
+                 n_valid: jnp.ndarray, top_k: int, tile_n: int = 131072,
+                 exact_select: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full decoded-tier query: matmul scan + shortlist + exact rerank.
 
     xhat_* [N_pad, D]; precomp [N_pad]; table [B, M, K] (for the exact
     rerank); codes [N_pad, M]; queries [B, D] f32.
     Returns (dists [B, top_k] exact f32 ascending, ids).
+
+    Shortlisting per tile uses ``lax.approx_min_k`` (the TPU PartialReduce
+    op; an exact full ``top_k`` over [B, 1M] costs ~7x a memory-bound
+    pass) with a 16x-over-provisioned candidate set and recall_target
+    0.99, followed by an exact f32 table rerank; pass exact_select=True
+    for strict per-tile ``lax.top_k`` selection.
     """
     B, D = queries.shape
     N = xhat_hi.shape[0]
     assert N % tile_n == 0
     n_tiles = N // tile_n
-    shortlist = min(max(4 * top_k, 32), 1024)
+    shortlist = min(max(16 * top_k, 64), 2048, tile_n)
 
     q_hi = queries.astype(jnp.bfloat16)
     q_lo = (queries - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -84,8 +92,7 @@ def decoded_topk(xhat_hi: jnp.ndarray, xhat_lo: jnp.ndarray,
     lo_t = xhat_lo.reshape(n_tiles, tile_n, D)
     pre_t = precomp.reshape(n_tiles, tile_n)
 
-    def step(carry, inp):
-        best_d, best_i = carry
+    def step(_, inp):
         t_idx, h, l, pre = inp
         # cross = xhat . q in ~f32 precision via 3 bf16 matmuls
         cross = (jnp.dot(h, q_hi.T, preferred_element_type=jnp.float32)
@@ -93,20 +100,22 @@ def decoded_topk(xhat_hi: jnp.ndarray, xhat_lo: jnp.ndarray,
                  + jnp.dot(l, q_hi.T, preferred_element_type=jnp.float32))
         d = pre[:, None] - 2.0 * cross + q2[None, :]  # [tile, B]
         d = d.T  # [B, tile]
-        ids = t_idx * tile_n + jax.lax.broadcasted_iota(
-            jnp.int32, (1, tile_n), 1)
-        d = jnp.where(ids < n_valid, d, jnp.inf)
-        cat_d = jnp.concatenate([best_d, d], axis=1)
-        cat_i = jnp.concatenate(
-            [best_i, jnp.broadcast_to(ids, (B, tile_n))], axis=1)
-        neg, pos = jax.lax.top_k(-cat_d, shortlist)
-        return (-neg, jnp.take_along_axis(cat_i, pos, axis=1)), None
+        local_ids = jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1)
+        gids = t_idx * tile_n + local_ids
+        d = jnp.where(gids < n_valid, d, jnp.inf)
+        if exact_select:
+            neg, pos = jax.lax.top_k(-d, shortlist)
+            vals = -neg
+        else:
+            vals, pos = jax.lax.approx_min_k(d, shortlist,
+                                             recall_target=0.99)
+        return None, (vals, t_idx * tile_n + pos.astype(jnp.int32))
 
-    init = (jnp.full((B, shortlist), jnp.inf, jnp.float32),
-            jnp.full((B, shortlist), -1, jnp.int32))
-    (cand_d, cand_i), _ = jax.lax.scan(
-        step, init, (jnp.arange(n_tiles, dtype=jnp.int32), hi_t, lo_t,
+    _, (cand_d, cand_i) = jax.lax.scan(
+        step, None, (jnp.arange(n_tiles, dtype=jnp.int32), hi_t, lo_t,
                      pre_t))
+    cand_i = jnp.moveaxis(cand_i, 0, 1).reshape(B, n_tiles * shortlist)
+    cand_d = jnp.moveaxis(cand_d, 0, 1).reshape(B, n_tiles * shortlist)
 
     # exact rerank of the shortlist with f32 table lookups
     M = table.shape[1]
@@ -116,7 +125,7 @@ def decoded_topk(xhat_hi: jnp.ndarray, xhat_lo: jnp.ndarray,
     exact = jnp.zeros(cand_i.shape, jnp.float32)
     for m in range(M):
         exact = exact + jnp.take_along_axis(tf, m * K + cw[:, :, m], axis=1)
-    exact = jnp.where(cand_i >= 0, exact, jnp.inf)
+    exact = jnp.where(jnp.isfinite(cand_d), exact, jnp.inf)
     neg, pos = jax.lax.top_k(-exact, top_k)
     return -neg, jnp.take_along_axis(cand_i, pos, axis=1)
 
