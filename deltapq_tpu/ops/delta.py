@@ -150,12 +150,14 @@ def make_compressed_query_fn(pack: DeltaPack):
 
 
 def query_compressed(pack: DeltaPack, codewords: np.ndarray,
-                     queries: np.ndarray, top_k: int = 10
+                     queries: np.ndarray, top_k: int = 10,
+                     select: str = "auto"
                      ) -> Tuple[np.ndarray, np.ndarray]:
     """End-to-end compressed query: ADC tables + level-wise traversal +
     top-k.  Returns (dists [B, top_k], ids [B, top_k]) in database-id
     space (ascending distance)."""
     from .adc import adc_table
+    from .topk import smallest_k
 
     codewords = jnp.asarray(codewords, jnp.float32)
     M, K, Ds = codewords.shape
@@ -165,5 +167,5 @@ def query_compressed(pack: DeltaPack, codewords: np.ndarray,
     table = adc_table(codewords, jnp.asarray(q))
     run = make_compressed_query_fn(pack)
     dists = run(table)  # [B, N] in db order
-    neg_top, ids = jax.lax.top_k(-dists, top_k)
-    return np.asarray(-neg_top), np.asarray(ids)
+    d, ids = smallest_k(dists, top_k, select)
+    return np.asarray(d), np.asarray(ids)
