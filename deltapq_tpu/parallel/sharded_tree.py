@@ -1,0 +1,216 @@
+"""Sharded DeltaTree index: compressed-code query over a device mesh.
+
+BASELINE.json north star: "compressed code arrays and DeltaTree
+partitions are tensor-sharded" across chips/hosts.  Design:
+
+- the database is split into S contiguous row partitions; an
+  independent DeltaTree is built per partition (build stays
+  embarrassingly parallel and each shard's traversal is local);
+- each shard's level-wise arrays (ops/delta.py) are padded to common
+  per-level shapes and stacked on a leading shard axis, so one
+  ``shard_map`` program runs every shard's traversal in SPMD;
+- per-shard top-k candidates merge with one ``all_gather`` (k values
+  per query per shard — negligible vs the scan).
+
+Padding scheme: each shard's distance frontier has one trash slot at
+index ``n_pad``; padded level nodes write there, padded diffs carry
+(m=0, from=0, to=0) so their table terms cancel exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..tree.build import find_edges_by_diff
+from ..tree.layout import DeltaTree, build_layout
+from ..ops.delta import build_delta_pack, DeltaPack
+from ..ops.topk import smallest_k
+from .mesh import make_mesh
+
+
+@dataclass
+class ShardedDeltaPack:
+    """Stacked + padded level-wise arrays for S shards."""
+
+    # per level: node_pos/parent_pos [S, n_d_max], seg/midx_to/midx_from
+    # [S, t_d_max]; sizes are the global maxima
+    levels: List[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+                       np.ndarray]]
+    root_idx: np.ndarray      # [S, M] flat table indices of root codes
+    vec_id: np.ndarray        # [S, n_pad] DFS pos -> partition-local id
+    n_local: np.ndarray       # [S] true rows per shard
+    row_base: np.ndarray      # [S] global id offset of each partition
+    n_pad: int                # padded rows per shard (trash slot at n_pad)
+    M: int
+    K: int
+
+
+def build_sharded_trees(codes: np.ndarray, K: int, n_shards: int,
+                        codewords: np.ndarray, **tree_kwargs
+                        ) -> List[DeltaTree]:
+    """Split rows into contiguous partitions and build one DeltaTree per
+    partition (independent builds — the multi-host build path)."""
+    n = len(codes)
+    per = -(-n // n_shards)
+    trees = []
+    for s in range(n_shards):
+        part = codes[s * per:(s + 1) * per]
+        if len(part) == 0:
+            part = codes[:1]  # degenerate shard: single row
+        res = find_edges_by_diff(part, K=K, **tree_kwargs)
+        trees.append(build_layout(part, res.edges, res.root_id, K=K,
+                                  codewords=codewords))
+    return trees
+
+
+def build_sharded_pack(trees: List[DeltaTree], row_bases: np.ndarray
+                       ) -> ShardedDeltaPack:
+    packs = [build_delta_pack(t) for t in trees]
+    S = len(packs)
+    M, K = packs[0].M, packs[0].K
+    n_pad = max(p.n for p in packs)
+    n_levels = max(len(p.levels) for p in packs)
+
+    levels = []
+    for d in range(n_levels):
+        nd_max = max((len(p.levels[d].node_pos) if d < len(p.levels)
+                      else 0) for p in packs)
+        td_max = max((len(p.levels[d].seg) if d < len(p.levels) else 0)
+                     for p in packs)
+        nd_max = max(nd_max, 1)
+        td_max = max(td_max, 1)
+        node = np.full((S, nd_max), n_pad, np.int32)   # trash slot
+        parent = np.zeros((S, nd_max), np.int32)
+        seg = np.full((S, td_max), nd_max - 1, np.int32)
+        midx_to = np.zeros((S, td_max), np.int32)
+        midx_from = np.zeros((S, td_max), np.int32)
+        for s, p in enumerate(packs):
+            if d >= len(p.levels):
+                continue
+            lp = p.levels[d]
+            nd, td = len(lp.node_pos), len(lp.seg)
+            node[s, :nd] = lp.node_pos
+            parent[s, :nd] = lp.parent_pos
+            seg[s, :td] = lp.seg
+            midx_to[s, :td] = lp.dm * K + lp.dto
+            midx_from[s, :td] = lp.dm * K + lp.dfrom
+            # padded segments must target a trash segment: use nd (one
+            # past the real segments) if there is room, else nd_max-1
+            # with zero terms (to == from == 0) which cancel anyway
+            seg[s, td:] = min(nd, nd_max - 1)
+        levels.append((node, parent, seg, midx_to, midx_from))
+
+    root_idx = np.stack([np.arange(M, dtype=np.int32) * K + p.root_code
+                         for p in packs])
+    # pad vec_id with the identity on unused slots so the inverse-permute
+    # scatter writes distinct targets (pad rows are masked by n_local)
+    vec_id = np.tile(np.arange(n_pad, dtype=np.int32), (S, 1))
+    n_local = np.zeros(S, np.int32)
+    for s, p in enumerate(packs):
+        vec_id[s, :p.n] = p.vec_id
+        n_local[s] = p.n
+    return ShardedDeltaPack(levels=levels, root_idx=root_idx,
+                            vec_id=vec_id, n_local=n_local,
+                            row_base=np.asarray(row_bases, np.int32),
+                            n_pad=n_pad, M=M, K=K)
+
+
+def make_sharded_compressed_query_fn(mesh: Mesh, pack: ShardedDeltaPack,
+                                     top_k: int, axis: str = "shard"):
+    """Jitted (table [B, M, K]) -> (dists [B, k], global ids [B, k]),
+    with the sharded pack arrays placed along the mesh axis."""
+    S = mesh.devices.size
+    assert pack.root_idx.shape[0] == S, \
+        f"pack has {pack.root_idx.shape[0]} shards, mesh has {S}"
+    n_pad = pack.n_pad
+    n_levels = len(pack.levels)
+    level_sizes = tuple((lv[0].shape[1], lv[2].shape[1])
+                        for lv in pack.levels)
+
+    shard0 = NamedSharding(mesh, P(axis))
+    dev_levels = tuple(
+        tuple(jax.device_put(a, shard0) for a in lv) for lv in pack.levels)
+    dev_root = jax.device_put(pack.root_idx, shard0)
+    dev_vec = jax.device_put(pack.vec_id, shard0)
+    dev_nloc = jax.device_put(pack.n_local, shard0)
+    dev_base = jax.device_put(pack.row_base, shard0)
+
+    def body(table, levels, root_idx, vec_id, n_local, row_base):
+        # all leading shard dims are 1 inside shard_map; squeeze them
+        B = table.shape[0]
+        tf = table.reshape(B, -1)
+        dist = jnp.zeros((B, n_pad + 1), jnp.float32)
+        root_d = jnp.sum(jnp.take(tf, root_idx[0], axis=1), axis=1)
+        dist = dist.at[:, 0].set(root_d)
+        for (node, parent, seg, midx_to, midx_from), (nd, td) in zip(
+                levels, level_sizes):
+            terms = (jnp.take(tf, midx_to[0], axis=1)
+                     - jnp.take(tf, midx_from[0], axis=1))  # [B, td]
+            delta = jax.vmap(lambda t: jax.ops.segment_sum(
+                t, seg[0], num_segments=nd + 1))(terms)
+            parent_d = jnp.take(dist, parent[0], axis=1)
+            upd = parent_d + delta[:, :nd]
+            dist = dist.at[:, node[0]].set(upd)
+        # local ids -> partition-local db ids -> global ids
+        inv = jnp.zeros(n_pad, jnp.int32).at[vec_id[0]].set(
+            jnp.arange(n_pad, dtype=jnp.int32))
+        db_dist = jnp.take(dist, inv, axis=1)  # [B, n_pad] local db order
+        valid = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1) \
+            < n_local[0]
+        db_dist = jnp.where(valid, db_dist, jnp.inf)
+        d, li = smallest_k(db_dist, top_k, select="exact")
+        gids = li + row_base[0]
+        all_d = jax.lax.all_gather(d, axis)
+        all_i = jax.lax.all_gather(gids, axis)
+        cat_d = jnp.moveaxis(all_d, 0, 1).reshape(B, -1)
+        cat_i = jnp.moveaxis(all_i, 0, 1).reshape(B, -1)
+        neg, pos = jax.lax.top_k(-cat_d, top_k)
+        return -neg, jnp.take_along_axis(cat_i, pos, axis=1)
+
+    level_specs = tuple(tuple(P(axis) for _ in lv) for lv in pack.levels)
+    mapped = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), level_specs, P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()), check_vma=False)
+    jitted = jax.jit(mapped)
+
+    def run(table):
+        return jitted(table, dev_levels, dev_root, dev_vec, dev_nloc,
+                      dev_base)
+
+    return run
+
+
+def sharded_query_compressed(codewords: np.ndarray, codes: np.ndarray,
+                             queries: np.ndarray, top_k: int = 10,
+                             mesh: Mesh = None, **tree_kwargs
+                             ) -> Tuple[np.ndarray, np.ndarray]:
+    """Convenience end-to-end: build per-shard DeltaTrees, run the
+    sharded compressed query, return (dists, global ids)."""
+    from ..ops.adc import adc_table
+
+    if mesh is None:
+        mesh = make_mesh()
+    S = mesh.devices.size
+    n = len(codes)
+    per = -(-n // S)
+    row_bases = np.arange(S, dtype=np.int32) * per
+    trees = build_sharded_trees(codes, int(codewords.shape[1]), S,
+                                codewords, **tree_kwargs)
+    pack = build_sharded_pack(trees, row_bases)
+    M, K, Ds = codewords.shape
+    q = np.asarray(queries, np.float32)
+    if q.shape[1] < M * Ds:
+        q = np.pad(q, ((0, 0), (0, M * Ds - q.shape[1])))
+    table = adc_table(jnp.asarray(codewords, jnp.float32), jnp.asarray(q))
+    run = make_sharded_compressed_query_fn(mesh, pack, top_k)
+    d, i = run(table)
+    return np.asarray(d), np.asarray(i)

@@ -57,3 +57,19 @@ def test_dp_lloyd_step_matches_global(rng):
                 np.testing.assert_allclose(new_c[m, k], x[m][sel].mean(0),
                                            rtol=1e-4, atol=1e-5)
     assert float(dist) > 0
+
+
+def test_sharded_compressed_query_matches_plain(rng, small_dataset):
+    from deltapq_tpu.parallel.sharded_tree import sharded_query_compressed
+    cw = pq_learn(jax.random.PRNGKey(0), small_dataset, M=4, K=16,
+                  max_iters=15)
+    codes = pq_encode(cw, small_dataset)
+    q = rng.normal(size=(5, small_dataset.shape[1])).astype(np.float32) * 3
+    d_ref, i_ref = query_plain(cw, q, codes, top_k=10, tile_n=512)
+    for nd in (2, 8):
+        mesh = make_mesh(nd)
+        d, i = sharded_query_compressed(cw, codes, q, top_k=10, mesh=mesh)
+        np.testing.assert_allclose(d, d_ref, rtol=2e-4, atol=1e-3)
+        for b in range(len(q)):
+            assert set(i[b]) == set(i_ref[b]) or \
+                np.allclose(np.sort(d[b]), np.sort(d_ref[b]), rtol=2e-4)
