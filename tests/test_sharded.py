@@ -73,3 +73,22 @@ def test_sharded_compressed_query_matches_plain(rng, small_dataset):
         for b in range(len(q)):
             assert set(i[b]) == set(i_ref[b]) or \
                 np.allclose(np.sort(d[b]), np.sort(d_ref[b]), rtol=2e-4)
+
+
+def test_continuous_batcher_order_and_padding(rng, small_dataset):
+    from deltapq_tpu.parallel.runtime import (ContinuousBatcher,
+                                              batch_iterator)
+    cw = pq_learn(jax.random.PRNGKey(0), small_dataset, M=4, K=16,
+                  max_iters=10)
+    codes = pq_encode(cw, small_dataset)
+    q = rng.normal(size=(25, small_dataset.shape[1])).astype(np.float32)
+
+    def qfn(batch):
+        return query_plain(cw, batch, codes, top_k=3, tile_n=512)
+
+    batcher = ContinuousBatcher(qfn, depth=2)
+    outs = list(batcher.run(batch_iterator(q, 8)))
+    assert len(outs) == 4  # ceil(25/8) batches
+    got = np.concatenate([i for _, i in outs])[:25]
+    d_ref, i_ref = query_plain(cw, q, codes, top_k=3, tile_n=512)
+    np.testing.assert_array_equal(got, i_ref)
