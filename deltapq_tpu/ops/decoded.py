@@ -59,68 +59,58 @@ def build_decoded_cache(codewords: np.ndarray, codes: np.ndarray,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("top_k", "tile_n", "exact_select"))
+                   static_argnames=("top_k", "precision", "exact_select"))
 def decoded_topk(xhat_hi: jnp.ndarray, xhat_lo: jnp.ndarray,
                  precomp: jnp.ndarray, table: jnp.ndarray,
                  codes: jnp.ndarray, queries: jnp.ndarray,
-                 n_valid: jnp.ndarray, top_k: int, tile_n: int = 131072,
-                 exact_select: bool = False
+                 n_valid: jnp.ndarray, top_k: int,
+                 precision: str = "bf16x2", exact_select: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Full decoded-tier query: matmul scan + shortlist + exact rerank.
+    """Full decoded-tier query: whole-array matmul + shortlist + rerank.
 
     xhat_* [N_pad, D]; precomp [N_pad]; table [B, M, K] (for the exact
     rerank); codes [N_pad, M]; queries [B, D] f32.
     Returns (dists [B, top_k] exact f32 ascending, ids).
 
-    Shortlisting per tile uses ``lax.approx_min_k`` (the TPU PartialReduce
-    op; an exact full ``top_k`` over [B, 1M] costs ~7x a memory-bound
-    pass) with a 16x-over-provisioned candidate set and recall_target
-    0.99, followed by an exact f32 table rerank; pass exact_select=True
-    for strict per-tile ``lax.top_k`` selection.
+    precision: "bf16x2" — 3 bf16 matmuls reproduce the f32 cross term to
+    ~2^-18 relative; "bf16" — 1 matmul, ~2^-8 shortlisting error (the
+    exact rerank fixes reported distances but a true neighbor can miss
+    the shortlist when >16k candidates sit within bf16 noise of the kth
+    distance).  Shortlisting uses ``lax.approx_min_k`` over the column
+    axis (no transpose; an exact ``top_k`` over [B, 1M] costs ~7x a
+    memory-bound pass); exact_select=True forces exact top_k selection.
     """
     B, D = queries.shape
     N = xhat_hi.shape[0]
-    assert N % tile_n == 0
-    n_tiles = N // tile_n
-    shortlist = min(max(16 * top_k, 64), 2048, tile_n)
+    shortlist = min(max(16 * top_k, 64), 2048, N)
 
     q_hi = queries.astype(jnp.bfloat16)
     q_lo = (queries - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     q2 = jnp.sum(queries * queries, axis=1)  # [B]
 
-    hi_t = xhat_hi.reshape(n_tiles, tile_n, D)
-    lo_t = xhat_lo.reshape(n_tiles, tile_n, D)
-    pre_t = precomp.reshape(n_tiles, tile_n)
-
-    def step(_, inp):
-        t_idx, h, l, pre = inp
-        # cross = xhat . q in ~f32 precision via 3 bf16 matmuls
-        cross = (jnp.dot(h, q_hi.T, preferred_element_type=jnp.float32)
-                 + jnp.dot(h, q_lo.T, preferred_element_type=jnp.float32)
-                 + jnp.dot(l, q_hi.T, preferred_element_type=jnp.float32))
-        d = pre[:, None] - 2.0 * cross + q2[None, :]  # [tile, B]
-        d = d.T  # [B, tile]
-        local_ids = jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1)
-        gids = t_idx * tile_n + local_ids
-        d = jnp.where(gids < n_valid, d, jnp.inf)
-        if exact_select:
-            neg, pos = jax.lax.top_k(-d, shortlist)
-            vals = -neg
-        else:
-            vals, pos = jax.lax.approx_min_k(d, shortlist,
-                                             recall_target=0.99)
-        return None, (vals, t_idx * tile_n + pos.astype(jnp.int32))
-
-    _, (cand_d, cand_i) = jax.lax.scan(
-        step, None, (jnp.arange(n_tiles, dtype=jnp.int32), hi_t, lo_t,
-                     pre_t))
-    cand_i = jnp.moveaxis(cand_i, 0, 1).reshape(B, n_tiles * shortlist)
-    cand_d = jnp.moveaxis(cand_d, 0, 1).reshape(B, n_tiles * shortlist)
+    cross = jnp.dot(xhat_hi, q_hi.T, preferred_element_type=jnp.float32)
+    if precision == "bf16x2":
+        cross = (cross
+                 + jnp.dot(xhat_hi, q_lo.T,
+                           preferred_element_type=jnp.float32)
+                 + jnp.dot(xhat_lo, q_hi.T,
+                           preferred_element_type=jnp.float32))
+    d = precomp[:, None] - 2.0 * cross + q2[None, :]  # [N, B]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+    d = jnp.where(rows < n_valid, d, jnp.inf)
+    if exact_select:
+        neg, cand_i = jax.lax.top_k(-d.T, shortlist)
+        cand_d = -neg
+    else:
+        cand_d, cand_i = jax.lax.approx_min_k(
+            d, shortlist, reduction_dimension=0, recall_target=0.99)
+        cand_d, cand_i = cand_d.T, cand_i.T  # -> [B, shortlist]
 
     # exact rerank of the shortlist with f32 table lookups
     M = table.shape[1]
     K = table.shape[2]
     tf = table.reshape(B, M * K)
+    cand_i = cand_i.astype(jnp.int32)
     cw = codes[jnp.clip(cand_i, 0, N - 1)].astype(jnp.int32)  # [B, S, M]
     exact = jnp.zeros(cand_i.shape, jnp.float32)
     for m in range(M):
@@ -134,7 +124,7 @@ class DecodedEngine:
     """Stateful wrapper holding the device-resident decoded cache."""
 
     def __init__(self, codewords: np.ndarray, codes: np.ndarray,
-                 tile_n: int = 131072):
+                 precision: str = "bf16x2"):
         from .adc import adc_table, pad_codes
 
         self._adc_table = adc_table
@@ -142,9 +132,8 @@ class DecodedEngine:
         M, K, Ds = codewords.shape
         self.D = M * Ds
         self.n_valid = codes.shape[0]
-        self.tile_n = min(tile_n, max(1024, 1 << (self.n_valid - 1)
-                                      .bit_length()))
-        codes_p = pad_codes(np.asarray(codes), self.tile_n)
+        self.precision = precision
+        codes_p = pad_codes(np.asarray(codes), 1024)
         hi, lo, pre = build_decoded_cache(codewords, codes_p)
         self.xhat_hi = jnp.asarray(hi)
         self.xhat_lo = jnp.asarray(lo)
@@ -159,5 +148,6 @@ class DecodedEngine:
         table = self._adc_table(self.codewords, jnp.asarray(q))
         d, i = decoded_topk(self.xhat_hi, self.xhat_lo, self.precomp,
                             table, self.codes, jnp.asarray(q),
-                            jnp.int32(self.n_valid), top_k, self.tile_n)
+                            jnp.int32(self.n_valid), top_k,
+                            self.precision)
         return np.asarray(d), np.asarray(i)

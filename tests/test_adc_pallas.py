@@ -116,7 +116,7 @@ def test_decoded_engine_matches_plain(rng=None):
     cw = rng.normal(size=(M, K, Ds)).astype(np.float32)
     codes = rng.integers(0, K, size=(N, M)).astype(np.uint8)
     q = rng.normal(size=(B, M * Ds)).astype(np.float32)
-    eng = DecodedEngine(cw, codes, tile_n=1024)
+    eng = DecodedEngine(cw, codes)
     d_e, i_e = eng.query(q, top_k=10)
     d_p, i_p = query_plain(cw, q, codes, top_k=10, engine="xla")
     np.testing.assert_allclose(d_e, d_p, rtol=1e-5, atol=1e-5)
