@@ -285,3 +285,28 @@ def decode_diff_index(stream: np.ndarray, n_codes: int, M: int,
             off += nd
         codes[i] = row
     return codes
+
+
+def block_aware_size(tree: "DeltaTree", block_bytes: int = 4096) -> dict:
+    """Block-aware packing simulation (reference method 4,
+    ``qnodes_to_compressed_codes_opt_block_aware``,
+    ``deltapq_create_approx_tree.h:1846-1970``): pack DFS node records
+    greedily into fixed blocks (each block also stores a 10-bit node
+    count + the entry node's full code so blocks decode independently);
+    returns the block count and total bytes (measurement only — the
+    reference stub prints and exits)."""
+    n = tree.n
+    M = tree.M
+    nd = tree.diff_num[1:].astype(np.int64)
+    # per node: ~0.5B shared depth nibble + 1B bitmap + diffs
+    rec = 1.5 + 1 + nd
+    header = 2 + M  # 10-bit count (2B) + entry code
+    blocks = 1
+    used = header + M  # first block carries the root code
+    for r in rec:
+        if used + r > block_bytes:
+            blocks += 1
+            used = header
+        used += r
+    return {"blocks": blocks, "bytes": blocks * block_bytes,
+            "plain_bytes": n * M}

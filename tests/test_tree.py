@@ -185,3 +185,39 @@ def test_end_to_end_tree_from_learned_codes(small_dataset):
     np.testing.assert_array_equal(back, codes)
     # compression actually helps on clustered data
     assert len(stream) < codes.size
+
+
+def test_exact_mst_spanning_and_lossless(clustered_codes):
+    from deltapq_tpu.tree.exact_mst import find_edges_exact_mst
+    codes, M, K = clustered_codes
+    res = find_edges_exact_mst(codes, K=K)
+    n = len(codes)
+    assert len(res.edges) == n - 1
+    children = res.edges[:, 1]
+    assert len(np.unique(children)) == n - 1
+    rng = np.random.default_rng(3)
+    cw = rng.normal(size=(M, K, 4)).astype(np.float32)
+    tree = build_layout(codes, res.edges, res.root_id, K=K, codewords=cw)
+    np.testing.assert_array_equal(tree.decode_codes(), codes)
+
+
+def test_exact_mst_fewer_or_equal_diffs_than_approx(clustered_codes):
+    from deltapq_tpu.tree.exact_mst import find_edges_exact_mst
+    codes, M, K = clustered_codes
+    approx = find_edges_by_diff(codes, K=K)
+    exact = find_edges_exact_mst(codes, K=K)
+    # the exact variant links nodes at their minimal diff round, so its
+    # total diff count can't exceed the star-forest's by much; sanity:
+    assert exact.n_diffs <= approx.n_diffs * 1.5 + 8
+
+
+def test_block_aware_size(clustered_codes):
+    from deltapq_tpu.tree.serialize import block_aware_size
+    codes, M, K = clustered_codes
+    res = find_edges_by_diff(codes, K=K)
+    rng = np.random.default_rng(3)
+    cw = rng.normal(size=(M, K, 4)).astype(np.float32)
+    tree = build_layout(codes, res.edges, res.root_id, K=K, codewords=cw)
+    out = block_aware_size(tree)
+    assert out["blocks"] >= 1
+    assert out["bytes"] >= len(serialize_dtc(tree)) - 4096
