@@ -221,3 +221,32 @@ def test_block_aware_size(clustered_codes):
     out = block_aware_size(tree)
     assert out["blocks"] >= 1
     assert out["bytes"] >= len(serialize_dtc(tree)) - 4096
+
+
+def test_reroot_min_height_reduces_chain():
+    from deltapq_tpu.tree.reroot import reroot_min_height, tree_height
+    # a path of 101 nodes rooted at an end has height 100; center -> 50
+    n = 101
+    edges = np.stack([np.arange(n - 1), np.arange(1, n)], axis=1)
+    oriented, root, h = reroot_min_height(edges, n)
+    assert root == 50 and h == 50
+    assert len(oriented) == n - 1
+    assert tree_height(oriented, root, n) == 50
+    # orientation: every node except root appears once as child
+    assert len(np.unique(oriented[:, 1])) == n - 1
+    assert root not in oriented[:, 1]
+
+
+def test_reroot_on_mst_tree(clustered_codes):
+    from deltapq_tpu.tree.exact_mst import find_edges_exact_mst
+    from deltapq_tpu.tree.reroot import reroot_min_height, tree_height
+    codes, M, K = clustered_codes
+    res = find_edges_exact_mst(codes, K=K)
+    n = len(codes)
+    h_before = tree_height(res.edges, res.root_id, n)
+    oriented, root, h_after = reroot_min_height(res.edges, n)
+    assert h_after <= h_before
+    rng = np.random.default_rng(3)
+    cw = rng.normal(size=(M, K, 4)).astype(np.float32)
+    tree = build_layout(codes, oriented, root, K=K, codewords=cw)
+    np.testing.assert_array_equal(tree.decode_codes(), codes)
