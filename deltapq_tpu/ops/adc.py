@@ -129,13 +129,15 @@ def query_plain(codewords: np.ndarray, queries: np.ndarray,
         engine = ("pallas" if jax.default_backend() in ("tpu", "axon")
                   else "xla")
     if engine == "pallas":
-        from .adc_pallas import adc_topk_packed
+        from .adc_pallas import adc_topk_pallas
 
         ptile = 4096
         codes_p = pad_codes(np.asarray(codes), ptile)
         table = adc_table(codewords, jnp.asarray(q))
-        d, i = adc_topk_packed(table, jnp.asarray(codes_p),
-                               jnp.int32(n_valid), top_k, ptile)
+        # f32 mask-argmin kernel: exact selection; fastest measured
+        # exact engine (5.8 ms/batch at N=1M, B=128 on v5e)
+        d, i = adc_topk_pallas(table, jnp.asarray(codes_p),
+                               jnp.int32(n_valid), top_k, ptile, "f32")
         return np.asarray(d), np.asarray(i)
     tile_n = min(tile_n, max(256, 1 << (n_valid - 1).bit_length()))
     codes_p = pad_codes(np.asarray(codes), tile_n)
