@@ -53,7 +53,7 @@ def main():
     import jax.numpy as jnp
 
     from deltapq_tpu.ops.adc import adc_table, adc_query_topk
-    from deltapq_tpu.ops.adc_pallas import adc_topk_packed
+    from deltapq_tpu.ops.adc_pallas import adc_topk_pallas
 
     M, K, Ds = 8, 256, 16
     N, B, top_k = 1_048_576, 128, 10
@@ -71,8 +71,8 @@ def main():
             q = qb + (salt + i.astype(jnp.float32)) * 1e-6
             tab = adc_table(cw, q)
             if engine == "pallas":
-                d, idx = adc_topk_packed(tab, codes, jnp.int32(N), top_k,
-                                         4096, "bf16x2")
+                d, idx = adc_topk_pallas(tab, codes, jnp.int32(N), top_k,
+                                         4096, "f32")
             else:
                 d, idx = adc_query_topk(tab, codes, jnp.int32(N), top_k,
                                         65536)
