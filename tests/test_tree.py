@@ -250,3 +250,42 @@ def test_reroot_on_mst_tree(clustered_codes):
     cw = rng.normal(size=(M, K, 4)).astype(np.float32)
     tree = build_layout(codes, oriented, root, K=K, codewords=cw)
     np.testing.assert_array_equal(tree.decode_codes(), codes)
+
+
+def test_with_id_tree_roundtrip(clustered_codes):
+    from deltapq_tpu.tree.with_id import (build_tree_with_id,
+                                          split_id_bytes,
+                                          extend_table_for_id)
+    codes, M, K = clustered_codes
+    rng = np.random.default_rng(3)
+    cw = rng.normal(size=(M, K, 4)).astype(np.float32)
+    tree = build_tree_with_id(codes, K=K, codewords=cw)
+    # lossless: decoded extended codes reproduce codes AND embedded ids
+    ext = tree.decode_codes()
+    back_codes, back_ids = split_id_bytes(ext)
+    np.testing.assert_array_equal(back_codes, codes)
+    np.testing.assert_array_equal(back_ids, np.arange(len(codes)))
+
+
+def test_with_id_query_distances_unchanged(clustered_codes):
+    from deltapq_tpu.tree.with_id import (build_tree_with_id,
+                                          extend_table_for_id)
+    from deltapq_tpu.ops.delta import (build_delta_pack,
+                                       make_compressed_query_fn)
+    from deltapq_tpu.ops import adc_table
+    import jax.numpy as jnp
+    codes, M, K = clustered_codes
+    rng = np.random.default_rng(3)
+    cw = rng.normal(size=(M, K, 4)).astype(np.float32)
+    tree = build_tree_with_id(codes, K=K, codewords=cw)
+    pack = build_delta_pack(tree)
+    q = rng.normal(size=(3, M * 4)).astype(np.float32)
+    table = np.asarray(adc_table(cw, q))
+    run = make_compressed_query_fn(pack)
+    dists = np.asarray(run(jnp.asarray(extend_table_for_id(table))))
+    # plain ADC reference over the real M subspaces
+    full = np.zeros((3, len(codes)), np.float32)
+    for m in range(M):
+        full += table[:, m, :][:, codes[:, m]]
+    # pack's db order = embedded id order = original order
+    np.testing.assert_allclose(dists, full, rtol=2e-4, atol=1e-3)
