@@ -324,6 +324,34 @@ def task_query_compressed(args, metrics: Metrics):
     return d, i
 
 
+def task_approx_with_id(args, metrics: Metrics):
+    """Embedded-id DeltaTree build (reference ``approx_with_id``,
+    ``deltapq_approx_tree_main.cpp:186-264``); stores the SoA cache
+    (the reference's 1-byte bitmap cannot address the id subspaces, so
+    there is no byte-stream format for this variant)."""
+    from .tree.with_id import build_tree_with_id
+
+    cfg = PQConfig(M=args.m, K=args.k)
+    cw = read_codewords(os.path.join(args.dataset, codewords_filename(cfg)))
+    codes = _load_codes(args)
+    with metrics.stage("build"):
+        tree = build_tree_with_id(codes, K=args.k, codewords=cw,
+                                  max_height_folds=args.height,
+                                  method=args.method)
+    tcfg = TreeConfig(h=args.height, method=args.method)
+    out = os.path.join(args.dataset,
+                       compressed_codes_filename(cfg, tcfg, len(codes),
+                                                 with_id=True)) + ".soa.npz"
+    np.savez(out, vec_id=tree.vec_id, parent_pos=tree.parent_pos,
+             depth=tree.depth, diff_num=tree.diff_num,
+             diff_off=tree.diff_off, diff_m=tree.diff_m,
+             diff_to=tree.diff_to, child_pos_start=tree.child_pos_start,
+             child_num=tree.child_num, max_dist=tree.max_dist,
+             max_dist2p=tree.max_dist2p, root_id=tree.root_id, M=tree.M,
+             K=tree.K)
+    print(f"embedded-id tree SoA written to {out}")
+
+
 def task_diff_index(args, metrics: Metrics):
     from .tree import write_diff_index
 
@@ -403,6 +431,7 @@ TASKS = {
     "recall": task_recall,
     "mAP": task_map,
     "approx_tree": task_approx_tree,
+    "approx_with_id": task_approx_with_id,
     "query_compressed": task_query_compressed,
     "query_im": task_query_compressed,
     "batch_query": task_query_compressed,

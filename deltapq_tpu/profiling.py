@@ -71,3 +71,17 @@ def device_mem_stats() -> Dict[str, Dict]:
                            ("bytes_in_use", "peak_bytes_in_use",
                             "bytes_limit") if k in s}
     return out
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """jax.profiler trace wrapper: captures a device trace viewable in
+    TensorBoard/Perfetto (replaces the reference's gettimeofday pairs
+    for kernel-level analysis)."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -99,3 +99,10 @@ def test_synth_and_combine_and_rand_sample(dataset_dir, tmp_path):
 
     # rand_sample self-query histogram
     run(dataset_dir, "-task", "rand_sample", "-rand_sample", "50")
+
+
+def test_approx_with_id_cli(dataset_dir):
+    run(dataset_dir, "-task", "approx_with_id")
+    assert os.path.exists(os.path.join(
+        dataset_dir,
+        "M8K32_Approx_compressed_codes_opt_with_id_N3000.soa.npz"))
