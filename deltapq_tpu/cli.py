@@ -404,6 +404,61 @@ def task_map(args, metrics: Metrics):
         metrics.set(k, v)
 
 
+def task_diff_scan(args, metrics: Metrics):
+    """Query over the sequential diff index (reference ``diff_scan``,
+    ``deltapq_approx_tree_main.cpp:428-495`` /
+    ``query_processing_diff_scan_o_direct``): decode the tree-less diff
+    stream losslessly, then run the plain ADC scan — distances are
+    identical to pqscan by construction."""
+    from .ops import query_plain
+    from .tree.serialize import decode_diff_index
+
+    cfg = PQConfig(M=args.m, K=args.k)
+    cw = read_codewords(os.path.join(args.dataset, codewords_filename(cfg)))
+    codes = _load_codes(args)
+    idx_path = os.path.join(args.dataset,
+                            diff_index_filename(cfg, len(codes)))
+    if not os.path.exists(idx_path):
+        raise FileNotFoundError(f"{idx_path}; run -task diff_index first")
+    with open(idx_path, "rb") as f:
+        n_codes = int(np.fromfile(f, np.int64, 1)[0])
+        n_bytes = int(np.fromfile(f, np.int64, 1)[0])
+        stream = np.fromfile(f, np.uint8, n_bytes)
+    with metrics.stage("decode"):
+        try:
+            from .native import diff_index_decode_native
+            decoded = diff_index_decode_native(stream, n_codes, args.m)
+            if decoded is None:
+                raise RuntimeError
+        except Exception:
+            decoded = decode_diff_index(stream, n_codes, args.m, args.k)
+    assert np.array_equal(decoded, codes[:n_codes]), \
+        "diff index decode mismatch"
+    q = _load_queries(args)
+    t0 = time.perf_counter()
+    with metrics.stage("query"):
+        d, i = query_plain(cw, q, decoded, top_k=args.topk,
+                           engine=args.engine)
+    print(f"{(time.perf_counter()-t0) / len(q) * 1000:.4f} [msec/query]")
+    return d, i
+
+
+def task_accuracy(args, metrics: Metrics):
+    """Top-1 accuracy vs groundtruth (the reference ``accuracy`` task is
+    buggy — scores a never-filled array, ``main.cpp:703-718``; this is
+    the intended semantics)."""
+    from .eval import top1_accuracy
+
+    d, i = task_query(args, metrics)
+    n = args.N if args.N > 0 else _load_codes(args).shape[0]
+    gt_ids, _ = read_groundtruth(
+        os.path.join(args.dataset, "groundtruth",
+                     groundtruth_filename(n, args.topk)))
+    acc = top1_accuracy(i, gt_ids[:len(i)])
+    print(f"top-1 accuracy = {acc}")
+    metrics.set("top1_accuracy", acc)
+
+
 def task_update(args, metrics: Metrics):
     """Update-cost simulation (``update_query_processing_simulation``,
     ``deltapq_create_approx_tree.h:3646-3723``): random code updates;
@@ -436,6 +491,8 @@ TASKS = {
     "query_im": task_query_compressed,
     "batch_query": task_query_compressed,
     "diff_index": task_diff_index,
+    "diff_scan": task_diff_scan,
+    "accuracy": task_accuracy,
     "update": task_update,
 }
 

@@ -41,3 +41,15 @@ def read_groundtruth(path: str) -> Tuple[np.ndarray, np.ndarray]:
             ids[i] = [int(t) for t in toks[0::2][:topk]]
             dists[i] = [float(t) for t in toks[1::2][:topk]]
     return ids, dists
+
+
+def write_scores(path: str, ids: np.ndarray, dists: np.ndarray) -> None:
+    """Per-query (id, dist) text dump (reference ``WriteScores``,
+    ``utils.cpp:118-138``)."""
+    ids = np.asarray(ids)
+    dists = np.asarray(dists)
+    with open(path, "w") as f:
+        for q in range(len(ids)):
+            for a, d in zip(ids[q], dists[q]):
+                f.write(f"{int(a)} {float(d)}\n")
+            f.write("\n")

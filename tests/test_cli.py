@@ -106,3 +106,8 @@ def test_approx_with_id_cli(dataset_dir):
     assert os.path.exists(os.path.join(
         dataset_dir,
         "M8K32_Approx_compressed_codes_opt_with_id_N3000.soa.npz"))
+
+
+def test_diff_scan_and_accuracy_cli(dataset_dir):
+    run(dataset_dir, "-task", "diff_scan", "-topk", "5")
+    run(dataset_dir, "-task", "accuracy", "-topk", "10")
