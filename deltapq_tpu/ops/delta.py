@@ -13,13 +13,16 @@ tree height is bounded by MAX_HEIGHT (= M*h) + finalist chain, so the
 whole traversal is ~M+2 rounds of
 
     delta[b, j] = sum over node j's diffs of (T[b,m,to] - T[b,m,from])
-    dist[b, node_at_level_d] = dist[b, parent] + delta
+    dist[level d] = dist[parent at level d-1] + delta
 
-where the per-level diff lists are flat (ragged -> segment-sum) arrays
-built once at index-build time.  Every round is a dense gather +
-segment-sum, fully parallel over (queries x nodes) — the TPU-native
-realization of the reference's per-node stack loop, touching only
-compressed-size diff data plus the [B, N] distance frontier.
+Layout: nodes are stored **level-major** (sorted by depth, then DFS
+position), so each level is a contiguous block; a level's output is
+computed from the previous block with one gather (parents) plus a
+segment-sum of the level's flat diff terms, and blocks simply
+concatenate — no scatter into a global distance array.  The final
+level-major distances permute back to database order with one gather.
+Every round is dense and fully parallel over (queries x nodes) — the
+TPU-native realization of the reference's per-node stack loop.
 """
 
 from __future__ import annotations
@@ -37,41 +40,47 @@ from ..tree.layout import DeltaTree, _ragged_indices
 
 @dataclass
 class LevelPack:
-    """Per-depth flat arrays for one level of the DeltaTree."""
+    """Per-depth flat arrays for one level of the DeltaTree
+    (level-major local indices)."""
 
-    node_pos: np.ndarray     # i32[n_d] DFS positions at this depth
-    parent_pos: np.ndarray   # i32[n_d]
-    seg: np.ndarray          # i32[t_d] index into 0..n_d-1 per diff
-    dm: np.ndarray           # i32[t_d] subspace of each diff
-    dfrom: np.ndarray        # i32[t_d] parent's centroid id
-    dto: np.ndarray          # i32[t_d] node's centroid id
+    parent_local: np.ndarray  # i32[n_d] index into level d-1's block
+    seg: np.ndarray           # i32[t_d] index into 0..n_d-1 per diff
+    dm: np.ndarray            # i32[t_d] subspace of each diff
+    dfrom: np.ndarray         # i32[t_d] parent's centroid id
+    dto: np.ndarray           # i32[t_d] node's centroid id
 
 
 @dataclass
 class DeltaPack:
-    """Device-ready level-wise layout of a DeltaTree."""
+    """Device-ready level-major layout of a DeltaTree."""
 
     levels: List[LevelPack]
-    root_code: np.ndarray    # [M] int32
-    vec_id: np.ndarray       # [N] int32: DFS pos -> database id
+    root_code: np.ndarray     # [M] int32
+    db_to_lm: np.ndarray      # [N] int32: database id -> level-major pos
     n: int
     M: int
     K: int
 
 
 def build_delta_pack(tree: DeltaTree) -> DeltaPack:
-    """Host-side preparation: group nodes by depth, flatten diffs, and
-    resolve each diff's ``from`` (= parent's centroid in that subspace,
-    which the DTC stream stores implicitly via the decode stack)."""
-    codes_dfs = np.zeros((tree.n, tree.M), np.int32)
-    # decode in DFS-index order (parents precede children)
+    """Host-side preparation: sort nodes level-major, flatten each
+    level's diffs, and resolve each diff's ``from`` (= parent's centroid
+    in that subspace, which the DTC stream stores implicitly via the
+    decode stack)."""
     decoded_db = tree.decode_codes()
     codes_dfs = decoded_db[tree.vec_id.astype(np.int64)].astype(np.int32)
 
+    n = tree.n
+    maxd = int(tree.depth.max()) if n else 0
+    # level-major order: stable sort by depth keeps DFS order within level
+    order = np.argsort(tree.depth, kind="stable").astype(np.int64)
+    lm_pos = np.empty(n, np.int64)
+    lm_pos[order] = np.arange(n)
+    level_off = np.searchsorted(tree.depth[order], np.arange(maxd + 2))
+
     levels: List[LevelPack] = []
-    maxd = int(tree.depth.max()) if tree.n else 0
     for d in range(1, maxd + 1):
-        sel = np.flatnonzero(tree.depth == d).astype(np.int64)
+        sel = order[level_off[d]:level_off[d + 1]]  # DFS positions, lvl d
         cnt = tree.diff_num[sel].astype(np.int64)
         flat = _ragged_indices(tree.diff_off[sel], cnt)
         seg = np.repeat(np.arange(len(sel)), cnt).astype(np.int32)
@@ -79,31 +88,18 @@ def build_delta_pack(tree: DeltaTree) -> DeltaPack:
         dto = tree.diff_to[flat].astype(np.int32)
         par = tree.parent_pos[sel].astype(np.int64)
         dfrom = codes_dfs[np.repeat(par, cnt), dm]
+        parent_local = (lm_pos[par] - level_off[d - 1]).astype(np.int32)
         levels.append(LevelPack(
-            node_pos=sel.astype(np.int32),
-            parent_pos=par.astype(np.int32),
-            seg=seg, dm=dm, dfrom=dfrom.astype(np.int32), dto=dto))
+            parent_local=parent_local, seg=seg, dm=dm,
+            dfrom=dfrom.astype(np.int32), dto=dto))
+
+    # database id -> level-major position
+    db_to_lm = np.empty(n, np.int64)
+    db_to_lm[tree.vec_id.astype(np.int64)] = lm_pos
     return DeltaPack(levels=levels,
                      root_code=codes_dfs[0].astype(np.int32),
-                     vec_id=tree.vec_id.astype(np.int32),
-                     n=tree.n, M=tree.M, K=tree.K)
-
-
-def _level_step(dist: jnp.ndarray, table_flat: jnp.ndarray,
-                lp_node: jnp.ndarray, lp_parent: jnp.ndarray,
-                lp_seg: jnp.ndarray, lp_midx_to: jnp.ndarray,
-                lp_midx_from: jnp.ndarray, n_nodes_level: int
-                ) -> jnp.ndarray:
-    """One level of delta propagation.  table_flat: [B, M*K]."""
-    terms = (jnp.take(table_flat, lp_midx_to, axis=1)
-             - jnp.take(table_flat, lp_midx_from, axis=1))  # [B, t_d]
-    # segment sum over diffs -> per-node deltas, via one-hot matmul-free
-    # scatter-add (XLA lowers to efficient segmented reduce on TPU)
-    delta = jax.vmap(
-        lambda t: jax.ops.segment_sum(t, lp_seg, num_segments=n_nodes_level)
-    )(terms)  # [B, n_d]
-    parent_d = jnp.take(dist, lp_parent, axis=1)
-    return dist.at[:, lp_node].set(parent_d + delta)
+                     db_to_lm=db_to_lm.astype(np.int32),
+                     n=n, M=tree.M, K=tree.K)
 
 
 def make_compressed_query_fn(pack: DeltaPack):
@@ -117,34 +113,38 @@ def make_compressed_query_fn(pack: DeltaPack):
     backends for large indexes.
     """
     levels_dev = [
-        (jnp.asarray(lp.node_pos), jnp.asarray(lp.parent_pos),
-         jnp.asarray(lp.seg), jnp.asarray(lp.dm * pack.K + lp.dto),
+        (jnp.asarray(lp.parent_local), jnp.asarray(lp.seg),
+         jnp.asarray(lp.dm * pack.K + lp.dto),
          jnp.asarray(lp.dm * pack.K + lp.dfrom))
         for lp in pack.levels]
-    level_sizes = tuple(len(lp.node_pos) for lp in pack.levels)
+    level_sizes = tuple(len(lp.parent_local) for lp in pack.levels)
     root_idx = jnp.asarray(np.arange(pack.M, dtype=np.int32) * pack.K
                            + pack.root_code)
-    vec_id = jnp.asarray(pack.vec_id)
-    n = pack.n
+    db_to_lm = jnp.asarray(pack.db_to_lm)
 
     @functools.partial(jax.jit, static_argnames=("sizes",))
-    def run_impl(table, levels, root_idx, vec_id, sizes):
+    def run_impl(table, levels, root_idx, db_to_lm, sizes):
         B = table.shape[0]
         tf = table.reshape(B, -1)
-        dist = jnp.zeros((B, n), jnp.float32)
         root_d = jnp.sum(jnp.take(tf, root_idx, axis=1), axis=1)
-        dist = dist.at[:, 0].set(root_d)
-        for (node, parent, seg, midx_to, midx_from), n_lvl in zip(
+        prev = root_d[:, None]  # [B, 1]
+        blocks = [prev]
+        for (parent_local, seg, midx_to, midx_from), n_lvl in zip(
                 levels, sizes):
-            dist = _level_step(dist, tf, node, parent, seg,
-                               midx_to, midx_from, n_lvl)
-        # permute DFS-position distances back to database id order
-        inv = jnp.zeros(n, jnp.int32).at[vec_id].set(
-            jnp.arange(n, dtype=jnp.int32))
-        return jnp.take(dist, inv, axis=1)
+            terms = (jnp.take(tf, midx_to, axis=1)
+                     - jnp.take(tf, midx_from, axis=1))  # [B, t_d]
+            delta = jax.vmap(
+                lambda t: jax.ops.segment_sum(t, seg,
+                                              num_segments=n_lvl))(terms)
+            parent_d = jnp.take(prev, parent_local, axis=1)
+            prev = parent_d + delta
+            blocks.append(prev)
+        dist_lm = jnp.concatenate(blocks, axis=1)  # [B, N] level-major
+        return jnp.take(dist_lm, db_to_lm, axis=1)
 
     def run(table: jnp.ndarray) -> jnp.ndarray:
-        return run_impl(table, levels_dev, root_idx, vec_id, level_sizes)
+        return run_impl(table, levels_dev, root_idx, db_to_lm,
+                        level_sizes)
 
     return run
 

@@ -6,20 +6,20 @@ partitions are tensor-sharded" across chips/hosts.  Design:
 - the database is split into S contiguous row partitions; an
   independent DeltaTree is built per partition (build stays
   embarrassingly parallel and each shard's traversal is local);
-- each shard's level-wise arrays (ops/delta.py) are padded to common
+- each shard's level-major arrays (ops/delta.py) are padded to common
   per-level shapes and stacked on a leading shard axis, so one
   ``shard_map`` program runs every shard's traversal in SPMD;
 - per-shard top-k candidates merge with one ``all_gather`` (k values
   per query per shard — negligible vs the scan).
 
-Padding scheme: each shard's distance frontier has one trash slot at
-index ``n_pad``; padded level nodes write there, padded diffs carry
-(m=0, from=0, to=0) so their table terms cancel exactly.
+Padding: level blocks pad to the per-level maximum across shards;
+padded slots get parent_local=0 and no diffs, producing garbage
+distances that the final database-order gather never reads (db_to_lm
+only targets real rows, and rows beyond a shard's n_local are masked).
 """
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import List, Tuple
 
@@ -38,17 +38,17 @@ from .mesh import make_mesh
 
 @dataclass
 class ShardedDeltaPack:
-    """Stacked + padded level-wise arrays for S shards."""
+    """Stacked + padded level-major arrays for S shards."""
 
-    # per level: node_pos/parent_pos [S, n_d_max], seg/midx_to/midx_from
-    # [S, t_d_max]; sizes are the global maxima
-    levels: List[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
-                       np.ndarray]]
+    # per level: parent_local [S, nd_max], seg/midx_to/midx_from
+    # [S, td_max]
+    levels: List[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]
     root_idx: np.ndarray      # [S, M] flat table indices of root codes
-    vec_id: np.ndarray        # [S, n_pad] DFS pos -> partition-local id
+    db_to_lm: np.ndarray      # [S, n_pad] local db id -> level-major pos
     n_local: np.ndarray       # [S] true rows per shard
     row_base: np.ndarray      # [S] global id offset of each partition
-    n_pad: int                # padded rows per shard (trash slot at n_pad)
+    n_pad: int                # padded db rows per shard
+    lm_size: int              # 1 + sum of padded level sizes
     M: int
     K: int
 
@@ -80,14 +80,14 @@ def build_sharded_pack(trees: List[DeltaTree], row_bases: np.ndarray
     n_levels = max(len(p.levels) for p in packs)
 
     levels = []
+    level_nd = []
     for d in range(n_levels):
-        nd_max = max((len(p.levels[d].node_pos) if d < len(p.levels)
+        nd_max = max((len(p.levels[d].parent_local) if d < len(p.levels)
                       else 0) for p in packs)
         td_max = max((len(p.levels[d].seg) if d < len(p.levels) else 0)
                      for p in packs)
         nd_max = max(nd_max, 1)
         td_max = max(td_max, 1)
-        node = np.full((S, nd_max), n_pad, np.int32)   # trash slot
         parent = np.zeros((S, nd_max), np.int32)
         seg = np.full((S, td_max), nd_max - 1, np.int32)
         midx_to = np.zeros((S, td_max), np.int32)
@@ -96,31 +96,39 @@ def build_sharded_pack(trees: List[DeltaTree], row_bases: np.ndarray
             if d >= len(p.levels):
                 continue
             lp = p.levels[d]
-            nd, td = len(lp.node_pos), len(lp.seg)
-            node[s, :nd] = lp.node_pos
-            parent[s, :nd] = lp.parent_pos
+            nd, td = len(lp.parent_local), len(lp.seg)
+            parent[s, :nd] = lp.parent_local
             seg[s, :td] = lp.seg
             midx_to[s, :td] = lp.dm * K + lp.dto
             midx_from[s, :td] = lp.dm * K + lp.dfrom
-            # padded segments must target a trash segment: use nd (one
-            # past the real segments) if there is room, else nd_max-1
-            # with zero terms (to == from == 0) which cancel anyway
-            seg[s, td:] = min(nd, nd_max - 1)
-        levels.append((node, parent, seg, midx_to, midx_from))
+        levels.append((parent, seg, midx_to, midx_from))
+        level_nd.append(nd_max)
 
-    root_idx = np.stack([np.arange(M, dtype=np.int32) * K + p.root_code
-                         for p in packs])
-    # pad vec_id with the identity on unused slots so the inverse-permute
-    # scatter writes distinct targets (pad rows are masked by n_local)
-    vec_id = np.tile(np.arange(n_pad, dtype=np.int32), (S, 1))
+    # per-shard db_to_lm remapped into the PADDED level-major space:
+    # shard-local level offsets differ from the padded ones
+    lm_size = 1 + sum(level_nd)
+    pad_off = np.concatenate([[0], [1], 1 + np.cumsum(level_nd)])[:-1]
+    # pad_off[d] = start of level d block (level 0 = root at 0)
+    db_to_lm = np.zeros((S, n_pad), np.int32)
     n_local = np.zeros(S, np.int32)
     for s, p in enumerate(packs):
-        vec_id[s, :p.n] = p.vec_id
+        # p.db_to_lm indexes the shard's own compact level-major space;
+        # recompute with padded offsets
+        own_nd = [len(lp.parent_local) for lp in p.levels]
+        own_off = np.concatenate([[0], [1], 1 + np.cumsum(own_nd)])[:-1]
+        lm = p.db_to_lm.astype(np.int64)
+        # find each position's level via searchsorted on own offsets
+        lev = np.searchsorted(np.concatenate([own_off[1:], [np.iinfo(
+            np.int64).max]]), lm, side="right")
+        local_in_level = lm - own_off[lev]
+        db_to_lm[s, :p.n] = (pad_off[lev] + local_in_level).astype(np.int32)
         n_local[s] = p.n
+    root_idx = np.stack([np.arange(M, dtype=np.int32) * K + p.root_code
+                         for p in packs])
     return ShardedDeltaPack(levels=levels, root_idx=root_idx,
-                            vec_id=vec_id, n_local=n_local,
+                            db_to_lm=db_to_lm, n_local=n_local,
                             row_base=np.asarray(row_bases, np.int32),
-                            n_pad=n_pad, M=M, K=K)
+                            n_pad=n_pad, lm_size=lm_size, M=M, K=K)
 
 
 def make_sharded_compressed_query_fn(mesh: Mesh, pack: ShardedDeltaPack,
@@ -131,38 +139,35 @@ def make_sharded_compressed_query_fn(mesh: Mesh, pack: ShardedDeltaPack,
     assert pack.root_idx.shape[0] == S, \
         f"pack has {pack.root_idx.shape[0]} shards, mesh has {S}"
     n_pad = pack.n_pad
-    n_levels = len(pack.levels)
-    level_sizes = tuple((lv[0].shape[1], lv[2].shape[1])
+    level_sizes = tuple((lv[0].shape[1], lv[1].shape[1])
                         for lv in pack.levels)
 
     shard0 = NamedSharding(mesh, P(axis))
     dev_levels = tuple(
         tuple(jax.device_put(a, shard0) for a in lv) for lv in pack.levels)
     dev_root = jax.device_put(pack.root_idx, shard0)
-    dev_vec = jax.device_put(pack.vec_id, shard0)
+    dev_lm = jax.device_put(pack.db_to_lm, shard0)
     dev_nloc = jax.device_put(pack.n_local, shard0)
     dev_base = jax.device_put(pack.row_base, shard0)
 
-    def body(table, levels, root_idx, vec_id, n_local, row_base):
-        # all leading shard dims are 1 inside shard_map; squeeze them
+    def body(table, levels, root_idx, db_to_lm, n_local, row_base):
+        # all leading shard dims are 1 inside shard_map; index [0]
         B = table.shape[0]
         tf = table.reshape(B, -1)
-        dist = jnp.zeros((B, n_pad + 1), jnp.float32)
         root_d = jnp.sum(jnp.take(tf, root_idx[0], axis=1), axis=1)
-        dist = dist.at[:, 0].set(root_d)
-        for (node, parent, seg, midx_to, midx_from), (nd, td) in zip(
+        prev = root_d[:, None]
+        blocks = [prev]
+        for (parent_local, seg, midx_to, midx_from), (nd, td) in zip(
                 levels, level_sizes):
             terms = (jnp.take(tf, midx_to[0], axis=1)
-                     - jnp.take(tf, midx_from[0], axis=1))  # [B, td]
+                     - jnp.take(tf, midx_from[0], axis=1))
             delta = jax.vmap(lambda t: jax.ops.segment_sum(
-                t, seg[0], num_segments=nd + 1))(terms)
-            parent_d = jnp.take(dist, parent[0], axis=1)
-            upd = parent_d + delta[:, :nd]
-            dist = dist.at[:, node[0]].set(upd)
-        # local ids -> partition-local db ids -> global ids
-        inv = jnp.zeros(n_pad, jnp.int32).at[vec_id[0]].set(
-            jnp.arange(n_pad, dtype=jnp.int32))
-        db_dist = jnp.take(dist, inv, axis=1)  # [B, n_pad] local db order
+                t, seg[0], num_segments=nd))(terms)
+            parent_d = jnp.take(prev, parent_local[0], axis=1)
+            prev = parent_d + delta
+            blocks.append(prev)
+        dist_lm = jnp.concatenate(blocks, axis=1)
+        db_dist = jnp.take(dist_lm, db_to_lm[0], axis=1)  # [B, n_pad]
         valid = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1) \
             < n_local[0]
         db_dist = jnp.where(valid, db_dist, jnp.inf)
@@ -183,7 +188,7 @@ def make_sharded_compressed_query_fn(mesh: Mesh, pack: ShardedDeltaPack,
     jitted = jax.jit(mapped)
 
     def run(table):
-        return jitted(table, dev_levels, dev_root, dev_vec, dev_nloc,
+        return jitted(table, dev_levels, dev_root, dev_lm, dev_nloc,
                       dev_base)
 
     return run
