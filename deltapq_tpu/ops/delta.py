@@ -110,41 +110,61 @@ def make_compressed_query_fn(pack: DeltaPack):
     The level arrays are passed as jit *arguments* (a pytree captured in
     a partial), not closure constants — closure-captured device arrays
     are baked into the serialized HLO, which breaks remote-compile
-    backends for large indexes.
+    backends for large indexes.  All levels' arrays are concatenated
+    into four flat device buffers and sliced at static offsets inside
+    the program (fewer, larger, aligned buffers; the axon backend
+    faults with many small odd-sized resident buffers).
     """
-    levels_dev = [
-        (jnp.asarray(lp.parent_local), jnp.asarray(lp.seg),
-         jnp.asarray(lp.dm * pack.K + lp.dto),
-         jnp.asarray(lp.dm * pack.K + lp.dfrom))
-        for lp in pack.levels]
     level_sizes = tuple(len(lp.parent_local) for lp in pack.levels)
+    diff_sizes = tuple(len(lp.seg) for lp in pack.levels)
+    node_off = np.concatenate([[0], np.cumsum(level_sizes)])
+    diff_off = np.concatenate([[0], np.cumsum(diff_sizes)])
+    parent_all = jnp.asarray(np.concatenate(
+        [lp.parent_local for lp in pack.levels]) if pack.levels
+        else np.zeros(1, np.int32))
+    seg_all = jnp.asarray(np.concatenate(
+        [lp.seg for lp in pack.levels]) if pack.levels
+        else np.zeros(1, np.int32))
+    midx_to_all = jnp.asarray(np.concatenate(
+        [lp.dm * pack.K + lp.dto for lp in pack.levels]) if pack.levels
+        else np.zeros(1, np.int32))
+    midx_from_all = jnp.asarray(np.concatenate(
+        [lp.dm * pack.K + lp.dfrom for lp in pack.levels]) if pack.levels
+        else np.zeros(1, np.int32))
     root_idx = jnp.asarray(np.arange(pack.M, dtype=np.int32) * pack.K
                            + pack.root_code)
     db_to_lm = jnp.asarray(pack.db_to_lm)
+    node_off_t = tuple(int(x) for x in node_off)
+    diff_off_t = tuple(int(x) for x in diff_off)
 
-    @functools.partial(jax.jit, static_argnames=("sizes",))
-    def run_impl(table, levels, root_idx, db_to_lm, sizes):
+    @functools.partial(jax.jit,
+                       static_argnames=("nsizes", "noffs", "doffs"))
+    def run_impl(table, parent_all, seg_all, midx_to_all, midx_from_all,
+                 root_idx, db_to_lm, nsizes, noffs, doffs):
         B = table.shape[0]
         tf = table.reshape(B, -1)
         root_d = jnp.sum(jnp.take(tf, root_idx, axis=1), axis=1)
         prev = root_d[:, None]  # [B, 1]
         blocks = [prev]
-        for (parent_local, seg, midx_to, midx_from), n_lvl in zip(
-                levels, sizes):
-            terms = (jnp.take(tf, midx_to, axis=1)
-                     - jnp.take(tf, midx_from, axis=1))  # [B, t_d]
+        for d, n_lvl in enumerate(nsizes):
+            ns, ne = noffs[d], noffs[d + 1]
+            ds, de = doffs[d], doffs[d + 1]
+            seg = seg_all[ds:de]
+            terms = (jnp.take(tf, midx_to_all[ds:de], axis=1)
+                     - jnp.take(tf, midx_from_all[ds:de], axis=1))
             delta = jax.vmap(
                 lambda t: jax.ops.segment_sum(t, seg,
                                               num_segments=n_lvl))(terms)
-            parent_d = jnp.take(prev, parent_local, axis=1)
+            parent_d = jnp.take(prev, parent_all[ns:ne], axis=1)
             prev = parent_d + delta
             blocks.append(prev)
         dist_lm = jnp.concatenate(blocks, axis=1)  # [B, N] level-major
         return jnp.take(dist_lm, db_to_lm, axis=1)
 
     def run(table: jnp.ndarray) -> jnp.ndarray:
-        return run_impl(table, levels_dev, root_idx, db_to_lm,
-                        level_sizes)
+        return run_impl(table, parent_all, seg_all, midx_to_all,
+                        midx_from_all, root_idx, db_to_lm,
+                        level_sizes, node_off_t, diff_off_t)
 
     return run
 
