@@ -312,6 +312,24 @@ def task_query_compressed(args, metrics: Metrics):
     codes = _load_codes(args)
     tree = _load_tree(args, len(codes))
     q = _load_queries(args)
+    if args.engine in ("pallas", "decoded"):
+        # lossless decompression => identical distances; scan engines
+        # are faster than the level-wise traversal on current TPUs
+        from .ops import query_plain
+        with metrics.stage("decode"):
+            decoded = tree.decode_codes()
+        t0 = time.perf_counter()
+        with metrics.stage("query"):
+            if args.engine == "decoded":
+                from .ops.decoded import DecodedEngine
+                d, i = DecodedEngine(cw, decoded).query(q, top_k=args.topk)
+            else:
+                d, i = query_plain(cw, q, decoded, top_k=args.topk,
+                                   engine=args.engine)
+        print(f"{(time.perf_counter()-t0) / len(q) * 1000:.4f} [msec/query]")
+        if args.debug:
+            print(i[0, 0], d[0, 0])
+        return d, i
     with metrics.stage("pack"):
         pack = build_delta_pack(tree)
     t0 = time.perf_counter()

@@ -111,3 +111,8 @@ def test_approx_with_id_cli(dataset_dir):
 def test_diff_scan_and_accuracy_cli(dataset_dir):
     run(dataset_dir, "-task", "diff_scan", "-topk", "5")
     run(dataset_dir, "-task", "accuracy", "-topk", "10")
+
+
+def test_query_compressed_engine_fallbacks(dataset_dir):
+    run(dataset_dir, "-task", "query_compressed", "-topk", "5",
+        "-engine", "xla")
