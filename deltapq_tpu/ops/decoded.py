@@ -151,3 +151,31 @@ class DecodedEngine:
                             jnp.int32(self.n_valid), top_k,
                             self.precision)
         return np.asarray(d), np.asarray(i)
+
+    def save(self, path: str) -> None:
+        """Persist the decoded cache (staged-artifact model, SURVEY §5)."""
+        np.savez(path,
+                 xhat_hi=np.asarray(self.xhat_hi).view(np.uint16),
+                 xhat_lo=np.asarray(self.xhat_lo).view(np.uint16),
+                 precomp=np.asarray(self.precomp),
+                 codes=np.asarray(self.codes),
+                 codewords=np.asarray(self.codewords),
+                 n_valid=self.n_valid, precision=self.precision)
+
+    @classmethod
+    def load(cls, path: str) -> "DecodedEngine":
+        from .adc import adc_table
+
+        z = np.load(path, allow_pickle=False)
+        self = cls.__new__(cls)
+        self._adc_table = adc_table
+        self.codewords = jnp.asarray(z["codewords"])
+        M, K, Ds = self.codewords.shape
+        self.D = M * Ds
+        self.n_valid = int(z["n_valid"])
+        self.precision = str(z["precision"])
+        self.xhat_hi = jnp.asarray(z["xhat_hi"]).view(jnp.bfloat16)
+        self.xhat_lo = jnp.asarray(z["xhat_lo"]).view(jnp.bfloat16)
+        self.precomp = jnp.asarray(z["precomp"])
+        self.codes = jnp.asarray(z["codes"])
+        return self

@@ -123,3 +123,22 @@ def test_decoded_engine_matches_plain(rng=None):
     for b in range(B):
         assert set(i_e[b]) == set(i_p[b]) or np.allclose(d_e[b], d_p[b],
                                                          rtol=1e-5)
+
+
+def test_decoded_engine_save_load(tmp_path):
+    import numpy as np
+    from deltapq_tpu.ops.decoded import DecodedEngine
+
+    rng = np.random.default_rng(5)
+    M, K, Ds, N = 4, 16, 8, 500
+    cw = rng.normal(size=(M, K, Ds)).astype(np.float32)
+    codes = rng.integers(0, K, size=(N, M)).astype(np.uint8)
+    q = rng.normal(size=(3, M * Ds)).astype(np.float32)
+    eng = DecodedEngine(cw, codes)
+    p = str(tmp_path / "cache.npz")
+    eng.save(p)
+    eng2 = DecodedEngine.load(p)
+    d1, i1 = eng.query(q, top_k=5)
+    d2, i2 = eng2.query(q, top_k=5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6)
