@@ -59,30 +59,37 @@ def build_decoded_cache(codewords: np.ndarray, codes: np.ndarray,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("top_k", "precision", "exact_select"))
+                   static_argnames=("top_k", "precision", "exact_select",
+                                    "rerank"))
 def decoded_topk(xhat_hi: jnp.ndarray, xhat_lo: jnp.ndarray,
                  precomp: jnp.ndarray, table: jnp.ndarray,
                  codes: jnp.ndarray, queries: jnp.ndarray,
                  n_valid: jnp.ndarray, top_k: int,
-                 precision: str = "bf16x2", exact_select: bool = False
+                 precision: str = "bf16x2", exact_select: bool = False,
+                 rerank: bool = True
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full decoded-tier query: whole-array matmul + shortlist + rerank.
 
-    xhat_* [N_pad, D]; precomp [N_pad]; table [B, M, K] (for the exact
+    xhat_* [N_pad, D]; precomp [N_pad] with **+inf on padding rows**
+    (folds the validity mask into the distance assembly — a separate
+    iota mask costs a full memory pass); table [B, M, K] (for the exact
     rerank); codes [N_pad, M]; queries [B, D] f32.
-    Returns (dists [B, top_k] exact f32 ascending, ids).
+    Returns (dists [B, top_k] f32 ascending, ids).
 
     precision: "bf16x2" — 3 bf16 matmuls reproduce the f32 cross term to
-    ~2^-18 relative; "bf16" — 1 matmul, ~2^-8 shortlisting error (the
-    exact rerank fixes reported distances but a true neighbor can miss
-    the shortlist when >16k candidates sit within bf16 noise of the kth
-    distance).  Shortlisting uses ``lax.approx_min_k`` over the column
-    axis (no transpose; an exact ``top_k`` over [B, 1M] costs ~7x a
-    memory-bound pass); exact_select=True forces exact top_k selection.
+    ~2^-18 relative; "bf16" — 1 matmul, ~2^-8 shortlisting error.
+    rerank=True recomputes candidate distances with exact f32 table
+    lookups (costs a ~20k-row gather, ~1.5 ms at B=128); rerank=False
+    reports the matmul-domain distances (exact ids for bf16x2 in
+    practice, values within ~1e-5 relative).
+    Shortlisting uses ``lax.approx_min_k`` over the column axis (an
+    exact ``top_k`` over [B, 1M] costs ~7x a memory-bound pass);
+    exact_select=True forces exact top_k selection.
     """
     B, D = queries.shape
     N = xhat_hi.shape[0]
-    shortlist = min(max(16 * top_k, 64), 2048, N)
+    shortlist = min(max(16 * top_k, 64), 2048, N) if rerank else \
+        min(max(4 * top_k, 32), 1024, N)
 
     q_hi = queries.astype(jnp.bfloat16)
     q_lo = (queries - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -96,8 +103,6 @@ def decoded_topk(xhat_hi: jnp.ndarray, xhat_lo: jnp.ndarray,
                  + jnp.dot(xhat_lo, q_hi.T,
                            preferred_element_type=jnp.float32))
     d = precomp[:, None] - 2.0 * cross + q2[None, :]  # [N, B]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
-    d = jnp.where(rows < n_valid, d, jnp.inf)
     if exact_select:
         neg, cand_i = jax.lax.top_k(-d.T, shortlist)
         cand_d = -neg
@@ -105,12 +110,16 @@ def decoded_topk(xhat_hi: jnp.ndarray, xhat_lo: jnp.ndarray,
         cand_d, cand_i = jax.lax.approx_min_k(
             d, shortlist, reduction_dimension=0, recall_target=0.99)
         cand_d, cand_i = cand_d.T, cand_i.T  # -> [B, shortlist]
+    cand_i = cand_i.astype(jnp.int32)
+
+    if not rerank:
+        neg, pos = jax.lax.top_k(-cand_d, top_k)
+        return -neg, jnp.take_along_axis(cand_i, pos, axis=1)
 
     # exact rerank of the shortlist with f32 table lookups
     M = table.shape[1]
     K = table.shape[2]
     tf = table.reshape(B, M * K)
-    cand_i = cand_i.astype(jnp.int32)
     cw = codes[jnp.clip(cand_i, 0, N - 1)].astype(jnp.int32)  # [B, S, M]
     exact = jnp.zeros(cand_i.shape, jnp.float32)
     for m in range(M):
@@ -135,6 +144,7 @@ class DecodedEngine:
         self.precision = precision
         codes_p = pad_codes(np.asarray(codes), 1024)
         hi, lo, pre = build_decoded_cache(codewords, codes_p)
+        pre[self.n_valid:] = np.inf  # fold validity mask into precomp
         self.xhat_hi = jnp.asarray(hi)
         self.xhat_lo = jnp.asarray(lo)
         self.precomp = jnp.asarray(pre)
