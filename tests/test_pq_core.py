@@ -119,3 +119,49 @@ def test_query_plain_self_query_top1(rng, small_dataset):
     for b in range(16):
         top_code = codes[ids[b, 0]]
         np.testing.assert_array_equal(top_code, codes[b])
+
+
+def test_k1024_u16_end_to_end(rng):
+    """K>256 path: u16 codes through learn/encode/query (reference
+    stores two bytes per sub-code, pq_tree.cpp:232-236)."""
+    x = rng.normal(size=(3000, 16)).astype(np.float32)
+    cw = pq_learn(jax.random.PRNGKey(2), x, M=2, K=512, max_iters=10)
+    codes = pq_encode(cw, x)
+    assert codes.dtype == np.uint16
+    d, i = query_plain(cw, x[:5], codes, top_k=5, tile_n=512)
+    # self-query: own code must rank first
+    for b in range(5):
+        np.testing.assert_array_equal(codes[i[b, 0]], codes[b])
+
+
+def test_gist_config_m16_end_to_end(rng):
+    """GIST1M-style config (BASELINE config 3): M=16, 960-dim-like data
+    (scaled down), plain ADC path (DTC byte format is M<=8 by design,
+    as in the reference)."""
+    from deltapq_tpu.eval import exact_topk, recall_at_k
+    ncl = 32
+    centers = rng.normal(size=(ncl, 96)).astype(np.float32) * 4
+    a = rng.integers(0, ncl, 4000)
+    base = centers[a] + rng.normal(size=(4000, 96)).astype(np.float32)
+    q = centers[rng.integers(0, ncl, 20)] + \
+        rng.normal(size=(20, 96)).astype(np.float32)
+    cw = pq_learn(jax.random.PRNGKey(3), base, M=16, K=32, max_iters=15)
+    assert cw.shape == (16, 32, 6)
+    codes = pq_encode(cw, base)
+    assert codes.shape == (4000, 16)
+    d, i = query_plain(cw, q, codes, top_k=10, tile_n=512)
+    gt_d, gt_i = exact_topk(q, base, top_k=10)
+    r = recall_at_k(i, gt_i)
+    # NN ranking here is intra-cluster (unit noise) while PQ distortion
+    # is of the same scale, so absolute recall is modest; assert far
+    # above chance (10/4000 = 0.0025) rather than an arbitrary bar
+    assert r > 0.05, r
+    # M=16 tree build works (u128 keys); serialization correctly refuses
+    from deltapq_tpu.tree import find_edges_by_diff, build_layout, serialize_dtc
+    res = find_edges_by_diff(codes, K=32)
+    assert len(res.edges) == 3999
+    tree = build_layout(codes, res.edges, res.root_id, K=32, codewords=cw)
+    np.testing.assert_array_equal(tree.decode_codes(), codes)
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        serialize_dtc(tree)
