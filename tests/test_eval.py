@@ -83,3 +83,15 @@ def test_code_hamming_hist():
     nn = np.array([[1, 2, 3], [4, 0, 0], [0, 0, 0]], np.uint8)
     h = code_hamming_hist(q, nn)
     np.testing.assert_array_equal(h, [1, 0, 1, 1])
+
+
+def test_evaluate_bundle(rng):
+    from deltapq_tpu.eval import evaluate
+    base = rng.normal(size=(300, 8)).astype(np.float32)
+    q = rng.normal(size=(4, 8)).astype(np.float32)
+    d, i = exact_topk(q, base, top_k=5)
+    out = evaluate(i, d, i, d, base=base, queries=q)
+    assert out["recall_at_k"] == 1.0
+    assert out["top1_accuracy"] == 1.0
+    assert abs(out["mAP"] - 1.0) < 1e-9
+    assert out["eps_recall"] == 1.0
