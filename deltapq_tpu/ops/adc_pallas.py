@@ -324,3 +324,138 @@ def adc_topk_packed(table: jnp.ndarray, codes: jnp.ndarray,
     ids = jnp.take_along_axis(cand_i, pos, axis=1)
     dists = _exact_dists_for_ids(table, codes_i, ids)
     return dists, ids
+
+
+# --------------------------------------------------------------------------
+# TileDict engine: dictionary-compacted one-hot scan
+# --------------------------------------------------------------------------
+#
+# DeltaPQ exploits inter-code redundancy via tree diffs — a sequential,
+# gather-heavy structure.  The TPU-native equivalent exploits the same
+# redundancy *columnar-wise*: rows are tiled (in DFS/cluster order, so
+# neighbors share values) and each tile stores, per subspace, the small
+# dictionary of distinct centroid ids plus a narrow per-row index.  The
+# kernel then (a) compacts the ADC table through the dictionary with a
+# [DICT, K] one-hot matmul and (b) scans rows with a [TN, DICT] one-hot
+# — DICT/K times less VPU compare work and MXU FLOPs than the plain
+# one-hot kernel, at full f32 exactness.
+
+def build_tile_dict(codes: np.ndarray, tile_n: int = 2048,
+                    max_dict: int = 64):
+    """Host-side build.  Returns (dict_vals i32 [T, M, D], idx u8 [N, M],
+    dict_width) or None if some tile exceeds ``max_dict`` distinct
+    values in a subspace (caller falls back to the plain kernel)."""
+    codes = np.asarray(codes)
+    n, M = codes.shape
+    assert n % tile_n == 0
+    n_tiles = n // tile_n
+    widths = 1
+    dicts = np.zeros((n_tiles, M, max_dict), np.int32)
+    idx = np.zeros((n, M), np.uint8)
+    for t in range(n_tiles):
+        rows = codes[t * tile_n:(t + 1) * tile_n]
+        for m in range(M):
+            u, inv = np.unique(rows[:, m], return_inverse=True)
+            if len(u) > max_dict:
+                return None
+            widths = max(widths, len(u))
+            dicts[t, m, :len(u)] = u
+            dicts[t, m, len(u):] = u[0]
+            idx[t * tile_n:(t + 1) * tile_n, m] = inv
+    # round dict width up to a power of two >= 8 for clean tiling
+    d = 8
+    while d < widths:
+        d *= 2
+    return dicts[:, :, :d].copy(), idx, d
+
+
+def _adc_topk_tiledict_kernel(idx_ref, dict_ref, n_valid_ref, table_ref,
+                              out_ref, *, top_k: int):
+    """One tile: dict-compacted distances + packed top-k.
+
+    idx [TN, M] int32 (narrow per-row dict positions); dict [1, M, D]
+    int32; table [M*K, B] f32; out [1, top_k, B] int32 packed keys.
+    """
+    TN, M = idx_ref.shape
+    _, _, D = dict_ref.shape
+    MK, B = table_ref.shape
+    K = MK // M
+    idx = idx_ref[:]
+    acc = jnp.zeros((TN, B), jnp.float32)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (D, K), 1)
+    iota_d = jax.lax.broadcasted_iota(jnp.int32, (TN, D), 1)
+    for m in range(M):
+        # stage A: compact table through the dictionary (tiny matmul)
+        oh_d = (iota_k == dict_ref[0, m][:, None]).astype(jnp.float32)
+        t_m = jnp.dot(oh_d, table_ref[m * K:(m + 1) * K, :],
+                      preferred_element_type=jnp.float32)  # [D, B]
+        # stage B: narrow one-hot over rows
+        oh_r = (iota_d == idx[:, m][:, None]).astype(jnp.float32)
+        acc = acc + jnp.dot(oh_r, t_m,
+                            preferred_element_type=jnp.float32)
+    # packed exact-f32-key top-k (same scheme as the packed kernel)
+    bits = jax.lax.bitcast_convert_type(acc, jnp.int32)
+    bits = bits ^ ((bits >> 31) & jnp.int32(0x7FFFFFFF))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TN, B), 0)
+    packed = (bits & jnp.int32(~((1 << _ROW_BITS) - 1))) | rows
+    big = jnp.int32(0x7FFFFFFF)
+    tile_base = pl.program_id(0) * TN
+    packed = jnp.where(tile_base + rows < n_valid_ref[0, 0], packed, big)
+    last = jnp.full((B,), -0x80000000, jnp.int32)
+    for j in range(top_k):
+        cand = jnp.where(packed > last[None, :], packed, big)
+        last = jnp.min(cand, axis=0)
+        out_ref[0, j, :] = last
+
+
+@functools.partial(jax.jit, static_argnames=("top_k", "tile_n"))
+def adc_topk_tiledict(table: jnp.ndarray, idx: jnp.ndarray,
+                      dict_vals: jnp.ndarray, codes: jnp.ndarray,
+                      n_valid: jnp.ndarray, top_k: int,
+                      tile_n: int = 2048
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """TileDict scan + top-k.  idx [N, M] u8/int32 dict positions;
+    dict_vals [T, M, D] int32; codes [N, M] (for exact distance
+    readout).  Returns (dists [B, top_k] exact f32, global ids)."""
+    B, M, K = table.shape
+    N = idx.shape[0]
+    assert N % tile_n == 0 and tile_n <= (1 << _ROW_BITS)
+    n_tiles = N // tile_n
+    D = dict_vals.shape[2]
+    table_t = table.transpose(1, 2, 0).reshape(M * K, B)
+    idx_i = idx.astype(jnp.int32)
+
+    packed = pl.pallas_call(
+        functools.partial(_adc_topk_tiledict_kernel, top_k=top_k),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile_n, M), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((M * K, B), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, top_k, B), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, top_k, B), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * D * B * M + 2 * n_tiles * D * K * B * M,
+            bytes_accessed=N * M + M * K * B * 4,
+            transcendentals=0),
+    )(idx_i, dict_vals.astype(jnp.int32),
+      jnp.asarray(n_valid, jnp.int32).reshape(1, 1), table_t)
+    packed = jax.lax.optimization_barrier(packed)
+
+    rows = packed & ((1 << _ROW_BITS) - 1)
+    base = (jnp.arange(n_tiles, dtype=jnp.int32) * tile_n)[:, None, None]
+    gids = rows + base
+    key = jnp.where(gids < n_valid, packed, jnp.int32(0x7FFFFFFF))
+    cand_key = key.transpose(2, 0, 1).reshape(B, n_tiles * top_k)
+    cand_i = gids.transpose(2, 0, 1).reshape(B, n_tiles * top_k)
+    neg, pos = jax.lax.top_k(-cand_key, top_k)
+    ids = jnp.take_along_axis(cand_i, pos, axis=1)
+    dists = _exact_dists_for_ids(table, codes.astype(jnp.int32), ids)
+    return dists, ids

@@ -142,3 +142,45 @@ def test_decoded_engine_save_load(tmp_path):
     d2, i2 = eng2.query(q, top_k=5)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(d1, d2, rtol=1e-6)
+
+
+def test_tiledict_build_and_kernel_interpret(monkeypatch):
+    from jax.experimental import pallas as pl
+    import deltapq_tpu.ops.adc_pallas as ap
+
+    rng = np.random.default_rng(13)
+    B, M, K, N, TN = 4, 4, 64, 512, 64
+    # clustered codes: few distinct values per tile
+    pool = rng.integers(0, K, size=(10, M))
+    codes = pool[rng.integers(0, 10, N)].astype(np.uint8)
+    table = np.abs(rng.normal(size=(B, M, K))).astype(np.float32)
+    out = ap.build_tile_dict(codes, tile_n=TN, max_dict=16)
+    assert out is not None
+    dicts, idx, D = out
+    assert D <= 16
+    # dict reconstruction: dict[tile, m, idx] == codes
+    for t in range(N // TN):
+        rows = slice(t * TN, (t + 1) * TN)
+        for m in range(M):
+            np.testing.assert_array_equal(
+                dicts[t, m][idx[rows, m]], codes[rows, m])
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call",
+                        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    d, i = ap.adc_topk_tiledict.__wrapped__(
+        jnp.asarray(table), jnp.asarray(idx), jnp.asarray(dicts),
+        jnp.asarray(codes), jnp.int32(500), top_k=5, tile_n=TN)
+    d, i = np.asarray(d), np.asarray(i)
+    full = _np_dists(table, codes)[:, :500]
+    ref_i = np.argsort(full, axis=1, kind="stable")[:, :5]
+    ref_d = np.take_along_axis(full, ref_i, axis=1)
+    np.testing.assert_allclose(np.sort(d, axis=1), ref_d, rtol=1e-5,
+                               atol=1e-5)
+    assert np.all(i < 500)
+
+
+def test_tiledict_overflow_returns_none():
+    from deltapq_tpu.ops.adc_pallas import build_tile_dict
+    rng = np.random.default_rng(2)
+    codes = rng.integers(0, 256, size=(256, 4)).astype(np.uint8)
+    assert build_tile_dict(codes, tile_n=256, max_dict=16) is None
