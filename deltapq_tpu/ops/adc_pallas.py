@@ -459,3 +459,55 @@ def adc_topk_tiledict(table: jnp.ndarray, idx: jnp.ndarray,
     ids = jnp.take_along_axis(cand_i, pos, axis=1)
     dists = _exact_dists_for_ids(table, codes.astype(jnp.int32), ids)
     return dists, ids
+
+
+class TileDictEngine:
+    """Compressed-scan engine: rows ordered by DeltaTree DFS (clustered
+    codes land in the same tiles), per-tile dictionaries, f32-exact
+    kernel.  Falls back to None (caller uses the plain kernel) when the
+    data isn't tile-compressible."""
+
+    def __init__(self, codewords, codes, order=None, tile_n: int = 2048,
+                 max_dict: int = 64):
+        from .adc import pad_codes
+
+        codes = np.asarray(codes)
+        self.n_valid = len(codes)
+        if order is None:
+            order = np.arange(len(codes))
+        self.order = np.asarray(order, np.int64)
+        reordered = codes[self.order]
+        reordered = pad_codes(reordered, tile_n)
+        built = build_tile_dict(reordered, tile_n=tile_n,
+                                max_dict=max_dict)
+        self.ok = built is not None
+        if not self.ok:
+            return
+        dicts, idx, D = built
+        self.tile_n = tile_n
+        self.dict_width = D
+        self.codewords = jnp.asarray(codewords, jnp.float32)
+        M, K, Ds = codewords.shape
+        self.D_vec = M * Ds
+        self.dicts = jnp.asarray(dicts)
+        self.idx = jnp.asarray(idx)
+        self.codes_reordered = jnp.asarray(reordered)
+        # padded rows map to order[0]; they're masked via n_valid anyway
+        self.row_to_db = jnp.asarray(np.concatenate(
+            [self.order,
+             np.zeros(len(reordered) - len(self.order), np.int64)])
+            .astype(np.int32))
+
+    def query(self, queries, top_k: int = 10):
+        from .adc import adc_table
+
+        q = np.asarray(queries, np.float32)
+        if q.shape[1] < self.D_vec:
+            q = np.pad(q, ((0, 0), (0, self.D_vec - q.shape[1])))
+        table = adc_table(self.codewords, jnp.asarray(q))
+        d, rows = adc_topk_tiledict(table, self.idx, self.dicts,
+                                    self.codes_reordered,
+                                    jnp.int32(self.n_valid), top_k,
+                                    self.tile_n)
+        ids = jnp.take(self.row_to_db, rows)
+        return np.asarray(d), np.asarray(ids)

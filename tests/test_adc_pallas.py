@@ -184,3 +184,29 @@ def test_tiledict_overflow_returns_none():
     rng = np.random.default_rng(2)
     codes = rng.integers(0, 256, size=(256, 4)).astype(np.uint8)
     assert build_tile_dict(codes, tile_n=256, max_dict=16) is None
+
+
+def test_tiledict_engine_dfs_order(monkeypatch, small_dataset):
+    from jax.experimental import pallas as pl
+    import deltapq_tpu.ops.adc_pallas as ap
+    from deltapq_tpu.ops import pq_learn, pq_encode, query_plain
+    from deltapq_tpu.tree import find_edges_by_diff, build_layout
+    import jax as _jax
+
+    cw = pq_learn(_jax.random.PRNGKey(0), small_dataset, M=4, K=16,
+                  max_iters=15)
+    codes = pq_encode(cw, small_dataset)
+    res = find_edges_by_diff(codes, K=16)
+    tree = build_layout(codes, res.edges, res.root_id, K=16, codewords=cw)
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call",
+                        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    eng = ap.TileDictEngine(cw, codes, order=tree.vec_id.astype(np.int64),
+                            tile_n=256, max_dict=16)
+    assert eng.ok  # DFS-ordered clustered codes fit a 16-wide dict
+    rng = np.random.default_rng(3)
+    q = rng.normal(size=(4, small_dataset.shape[1])).astype(np.float32)
+    d, i = eng.query(q, top_k=5)
+    d_ref, i_ref = query_plain(cw, q, codes, top_k=5, engine="xla")
+    np.testing.assert_allclose(np.sort(d, 1), np.sort(d_ref, 1),
+                               rtol=1e-5, atol=1e-5)
