@@ -310,3 +310,108 @@ def block_aware_size(tree: "DeltaTree", block_bytes: int = 4096) -> dict:
         used += r
     return {"blocks": blocks, "bytes": blocks * block_bytes,
             "plain_bytes": n * M}
+
+
+# --------------------------------------------------------------------------
+# Legacy bit-level format — qnodes_to_compressed_codes (:1498-1596)
+# --------------------------------------------------------------------------
+
+def serialize_bits(tree: "DeltaTree") -> Tuple[bytes, int]:
+    """Legacy bit format: per node (root included) 3-bit depth +
+    8-bit bitmap + 8 bits per diff "to", bits packed LSB-first.
+    Returns (bytes, n_bits).  n_bits = 8*n_diffs + 11*N + 64-ish
+    (the reference formula hardcodes the root's 64 code bits for M=8;
+    we emit the root like any node, which matches its writer loop)."""
+    n, M = tree.n, tree.M
+    if M > 8:
+        raise NotImplementedError("bit format bitmap is 8 bits")
+    bm = _bitmaps_from_diffs(tree.diff_num, tree.diff_off, tree.diff_m, n)
+    bits = []
+    depth = tree.depth.astype(np.uint8)
+    nd = tree.diff_num.astype(np.int64)
+    # per node bit payload: depth(3) + bitmap(8) + 8*nd
+    total_bits = int(3 * n + 8 * n + 8 * nd.sum())
+    out = np.zeros(total_bits, np.uint8)
+    pos = 0
+    for i in range(n):
+        d = int(depth[i])
+        out[pos:pos + 3] = [(d >> j) & 1 for j in range(3)]
+        pos += 3
+        b = int(bm[i])
+        out[pos:pos + 8] = [(b >> j) & 1 for j in range(8)]
+        pos += 8
+        s, e = tree.diff_off[i], tree.diff_off[i + 1]
+        for v in tree.diff_to[s:e]:
+            v = int(v)
+            out[pos:pos + 8] = [(v >> j) & 1 for j in range(8)]
+            pos += 8
+    packed = np.packbits(out, bitorder="little")
+    return packed.tobytes(), total_bits
+
+
+def deserialize_bits(stream: bytes, n_bits: int, n_codes: int, M: int
+                     ) -> np.ndarray:
+    """Decode the legacy bit format back to [N, M] codes in DFS order."""
+    bits = np.unpackbits(np.frombuffer(stream, np.uint8),
+                         bitorder="little")[:n_bits]
+    codes = np.zeros((n_codes, M), np.uint8)
+    stack = np.zeros((16, M), np.uint8)
+    pos = 0
+
+    def take(k):
+        nonlocal pos
+        v = 0
+        for j in range(k):
+            v |= int(bits[pos + j]) << j
+        pos += k
+        return v
+
+    for i in range(n_codes):
+        d = take(3)
+        bm = take(8)
+        row = stack[d - 1].copy() if i else np.zeros(M, np.uint8)
+        for m in range(8):
+            if bm & (1 << m):
+                row[m] = take(8)
+        stack[d] = row
+        codes[i] = row
+    return codes
+
+
+# --------------------------------------------------------------------------
+# Row-store variant — row_store_qnodes_to_compressed_codes_opt (:1598-1729)
+# --------------------------------------------------------------------------
+
+def serialize_dtc_row_store(tree: "DeltaTree", raw_vectors: np.ndarray
+                            ) -> bytes:
+    """DTC byte format with each node's raw vector bytes interleaved
+    after its record (for systems that co-locate raw data with codes;
+    reference row-store variant).  raw_vectors: [N_db, D] uint8 (bvecs
+    semantics), indexed by database id."""
+    from io import BytesIO
+
+    n, M = tree.n, tree.M
+    raw = np.asarray(raw_vectors, np.uint8)
+    base = serialize_dtc(tree)
+    # re-walk the record layout of serialize_dtc to interleave vectors
+    depths, bitmaps, diff_to, diff_off = deserialize_dtc(
+        np.frombuffer(base, np.uint8), n, M, use_native=False)
+    out = BytesIO()
+    stream = np.frombuffer(base, np.uint8)
+    off = M
+    out.write(stream[:M].tobytes())
+    out.write(raw[tree.vec_id[0]].tobytes())
+    i = 1
+    while i + 1 < n:
+        out.write(stream[off:off + 1].tobytes()); off += 1  # depth byte
+        for half in range(2):
+            ndiff = int(diff_off[i + half + 1] - diff_off[i + half])
+            out.write(stream[off:off + 1 + ndiff].tobytes())
+            off += 1 + ndiff
+            out.write(raw[tree.vec_id[i + half]].tobytes())
+        i += 2
+    if i == n - 1:
+        ndiff = int(diff_off[i + 1] - diff_off[i])
+        out.write(stream[off:off + 2 + ndiff].tobytes())
+        out.write(raw[tree.vec_id[i]].tobytes())
+    return out.getvalue()

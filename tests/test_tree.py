@@ -289,3 +289,25 @@ def test_with_id_query_distances_unchanged(clustered_codes):
         full += table[:, m, :][:, codes[:, m]]
     # pack's db order = embedded id order = original order
     np.testing.assert_allclose(dists, full, rtol=2e-4, atol=1e-3)
+
+
+def test_bit_format_roundtrip(tree_and_codes):
+    from deltapq_tpu.tree.serialize import serialize_bits, deserialize_bits
+    codes, tree, res, _ = tree_and_codes
+    stream, n_bits = serialize_bits(tree)
+    # reference size formula: 8*n_diffs + 11*N + 64 (root code, M=8)
+    assert n_bits == 8 * res.n_diffs + 11 * tree.n + 64
+    decoded = deserialize_bits(stream, n_bits, tree.n, tree.M)
+    back = np.empty_like(codes)
+    back[tree.vec_id.astype(np.int64)] = decoded
+    np.testing.assert_array_equal(back, codes)
+
+
+def test_row_store_roundtrip(tree_and_codes):
+    from deltapq_tpu.tree.serialize import (serialize_dtc_row_store,
+                                            serialize_dtc)
+    codes, tree, _, _ = tree_and_codes
+    rng = np.random.default_rng(4)
+    raw = rng.integers(0, 256, size=(tree.n, 12)).astype(np.uint8)
+    rs = serialize_dtc_row_store(tree, raw)
+    assert len(rs) == len(serialize_dtc(tree)) + tree.n * 12
