@@ -311,3 +311,21 @@ def test_row_store_roundtrip(tree_and_codes):
     raw = rng.integers(0, 256, size=(tree.n, 12)).astype(np.uint8)
     rs = serialize_dtc_row_store(tree, raw)
     assert len(rs) == len(serialize_dtc(tree)) + tree.n * 12
+
+
+def test_chain_data_compression_near_optimal():
+    """The reference's -synth chain (each code differs from its
+    predecessor in exactly one subspace) is DeltaPQ's designed best
+    case: the tree must achieve ~1 diff/node and ~2.5 B/vec."""
+    from deltapq_tpu.synth import chain_codes
+    codes = chain_codes(4000, M=8, K=256, seed=1)
+    res = find_edges_by_diff(codes, K=256)
+    assert res.n_diffs / len(codes) < 2.0, res.n_diffs
+    rng = np.random.default_rng(0)
+    cw = rng.normal(size=(8, 256, 2)).astype(np.float32)
+    tree = build_layout(codes, res.edges, res.root_id, K=256,
+                        codewords=cw)
+    stream = serialize_dtc(tree)
+    bytes_per_vec = len(stream) / len(codes)
+    assert bytes_per_vec < 3.6, bytes_per_vec  # vs 8 plain
+    np.testing.assert_array_equal(tree.decode_codes(), codes)
