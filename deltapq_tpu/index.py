@@ -1,0 +1,179 @@
+"""High-level index facade: the product API of the framework.
+
+Ties the pipeline together (codebook learning -> encoding -> DeltaTree
+compression -> engine selection -> query) behind one object, with
+persistence and **real incremental updates** — the reference only
+simulates update byte costs (``update_query_processing_simulation``,
+``deltapq_create_approx_tree.h:3646-3723``); here inserts/deletes are
+served live: new vectors land in an uncompressed tail buffer scanned
+alongside the compressed main index, deletes are masked, and the tree
+is rebuilt once the tail outgrows ``rebuild_fraction``.
+
+Example::
+
+    idx = DeltaPQIndex.build(train_vecs, base_vecs, M=8, K=256)
+    dists, ids = idx.search(queries, top_k=10)
+    idx.add(new_vecs)
+    idx.remove([3, 17])
+    idx.save("index_dir")
+    idx2 = DeltaPQIndex.load("index_dir")
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+class DeltaPQIndex:
+    def __init__(self, codewords: np.ndarray, codes: np.ndarray,
+                 engine: str = "auto", tree_method: int = 1,
+                 height: int = 1, rebuild_fraction: float = 0.2,
+                 build_tree: bool = True):
+        self.codewords = np.asarray(codewords, np.float32)
+        self.M, self.K, self.Ds = self.codewords.shape
+        self.codes = np.asarray(codes)
+        self.engine = engine
+        self.tree_method = tree_method
+        self.height = height
+        self.rebuild_fraction = rebuild_fraction
+        self.tail = np.empty((0, self.M), self.codes.dtype)
+        self.deleted = np.zeros(0, bool)  # lazily sized
+        self.tree = None
+        self._stream = None
+        if build_tree and self.K <= 256 and self.M <= 8 and len(codes):
+            self._build_tree()
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def build(cls, train_vecs: np.ndarray, base_vecs: np.ndarray,
+              M: int = 8, K: int = 256, seed: int = 0,
+              max_iters: int = 100, **kw) -> "DeltaPQIndex":
+        import jax
+
+        from .ops import pq_learn, pq_encode
+
+        cw = pq_learn(jax.random.PRNGKey(seed), np.asarray(train_vecs),
+                      M=M, K=K, max_iters=max_iters)
+        codes = pq_encode(cw, np.asarray(base_vecs))
+        return cls(cw, codes, **kw)
+
+    def _build_tree(self):
+        from .tree import find_edges_by_diff, build_layout, serialize_dtc
+
+        res = find_edges_by_diff(self.codes, K=self.K,
+                                 max_height_folds=self.height,
+                                 method=self.tree_method)
+        self.tree = build_layout(self.codes, res.edges, res.root_id,
+                                 K=self.K, codewords=self.codewords)
+        self._stream = serialize_dtc(self.tree)
+
+    # -- queries -----------------------------------------------------------
+
+    @property
+    def n(self) -> int:
+        return len(self.codes) + len(self.tail)
+
+    def _all_codes(self) -> np.ndarray:
+        if len(self.tail):
+            return np.concatenate([self.codes, self.tail])
+        return self.codes
+
+    def search(self, queries: np.ndarray, top_k: int = 10
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k over main + tail, with deleted rows masked."""
+        from .ops import query_plain
+
+        q = np.asarray(queries, np.float32)
+        fetch = top_k + int(self.deleted.sum())
+        fetch = min(fetch, self.n)
+        d, i = query_plain(self.codewords, q, self._all_codes(),
+                           top_k=fetch, engine=self.engine)
+        if self.deleted.any():
+            dele = np.flatnonzero(self.deleted)
+            bad = np.isin(i, dele)
+            d = np.where(bad, np.inf, d)
+            order = np.argsort(d, axis=1, kind="stable")
+            d = np.take_along_axis(d, order, axis=1)
+            i = np.take_along_axis(i, order, axis=1)
+        return d[:, :top_k], i[:, :top_k]
+
+    # -- updates -----------------------------------------------------------
+
+    def add(self, vecs: np.ndarray) -> np.ndarray:
+        """Insert vectors; returns their ids.  New codes go to the
+        uncompressed tail; the tree is rebuilt when the tail exceeds
+        ``rebuild_fraction`` of the index."""
+        from .ops import pq_encode
+
+        new_codes = pq_encode(self.codewords, np.asarray(vecs))
+        ids = np.arange(self.n, self.n + len(new_codes))
+        self.tail = np.concatenate([self.tail, new_codes])
+        if len(self.tail) > self.rebuild_fraction * max(len(self.codes), 1):
+            self.compact()
+        return ids
+
+    def remove(self, ids) -> None:
+        """Mask rows as deleted (compacted out at the next rebuild)."""
+        ids = np.asarray(ids, np.int64)
+        if len(self.deleted) < self.n:
+            self.deleted = np.concatenate(
+                [self.deleted, np.zeros(self.n - len(self.deleted), bool)])
+        self.deleted[ids] = True
+
+    def compact(self) -> None:
+        """Fold the tail into the main code array, drop deleted rows,
+        and rebuild the DeltaTree.  NOTE: row ids change (compaction);
+        callers needing stable ids should keep their own id map."""
+        all_codes = self._all_codes()
+        if len(self.deleted):
+            mask = np.ones(len(all_codes), bool)
+            mask[:len(self.deleted)] &= ~self.deleted
+            all_codes = all_codes[mask]
+        self.codes = all_codes
+        self.tail = np.empty((0, self.M), self.codes.dtype)
+        self.deleted = np.zeros(0, bool)
+        if self.K <= 256 and self.M <= 8 and len(self.codes):
+            self._build_tree()
+
+    # -- stats / persistence ----------------------------------------------
+
+    def stats(self) -> dict:
+        out = {"n": self.n, "n_main": len(self.codes),
+               "n_tail": len(self.tail),
+               "n_deleted": int(self.deleted.sum()),
+               "plain_bytes": int(self.n * self.codes.itemsize * self.M)}
+        if self._stream is not None:
+            out["compressed_bytes"] = len(self._stream)
+            out["bytes_per_vec"] = round(
+                len(self._stream) / max(len(self.codes), 1), 3)
+        return out
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        np.savez(os.path.join(path, "index.npz"),
+                 codewords=self.codewords, codes=self._all_codes(),
+                 deleted=self.deleted)
+        with open(os.path.join(path, "config.json"), "w") as f:
+            json.dump({"engine": self.engine, "method": self.tree_method,
+                       "height": self.height, "M": self.M, "K": self.K},
+                      f)
+        if self._stream is not None:
+            from .tree import write_dtc
+
+            write_dtc(os.path.join(path, "compressed.dtc"), self.tree)
+
+    @classmethod
+    def load(cls, path: str) -> "DeltaPQIndex":
+        z = np.load(os.path.join(path, "index.npz"))
+        with open(os.path.join(path, "config.json")) as f:
+            cfg = json.load(f)
+        idx = cls(z["codewords"], z["codes"], engine=cfg["engine"],
+                  tree_method=cfg["method"], height=cfg["height"])
+        if len(z["deleted"]):
+            idx.deleted = z["deleted"]
+        return idx

@@ -1,0 +1,73 @@
+import numpy as np
+import pytest
+
+from deltapq_tpu.index import DeltaPQIndex
+
+
+@pytest.fixture(scope="module")
+def built(small_dataset):
+    return DeltaPQIndex.build(small_dataset[:1000], small_dataset,
+                              M=4, K=16, max_iters=15)
+
+
+def test_build_and_search(built, small_dataset):
+    d, i = built.search(small_dataset[:8], top_k=5)
+    # self-query: own code must rank first
+    for b in range(8):
+        np.testing.assert_array_equal(built.codes[i[b, 0]],
+                                      built.codes[b])
+    st = built.stats()
+    assert st["n"] == len(small_dataset)
+    assert st["compressed_bytes"] < st["plain_bytes"]
+
+
+def test_add_and_search(built, small_dataset, rng):
+    idx = DeltaPQIndex(built.codewords, built.codes.copy())
+    new = small_dataset[:3] + 0.01
+    ids = idx.add(new)
+    assert list(ids) == [2000, 2001, 2002]
+    d, i = idx.search(new, top_k=2)
+    # the new rows must be findable (same code as their near-duplicates
+    # or themselves)
+    all_codes = idx._all_codes()
+    for b in range(3):
+        np.testing.assert_array_equal(all_codes[i[b, 0]],
+                                      all_codes[2000 + b])
+
+
+def test_remove_masks_results(built, small_dataset):
+    idx = DeltaPQIndex(built.codewords, built.codes.copy())
+    q = small_dataset[:4]
+    d0, i0 = idx.search(q, top_k=3)
+    idx.remove(i0[:, 0])
+    d1, i1 = idx.search(q, top_k=3)
+    for b in range(4):
+        assert i0[b, 0] not in i1[b]
+
+
+def test_rebuild_threshold_compacts(built, small_dataset):
+    idx = DeltaPQIndex(built.codewords, built.codes.copy(),
+                       rebuild_fraction=0.01)
+    idx.add(small_dataset[:50])  # 50 > 1% of 2000 -> compacts
+    assert len(idx.tail) == 0
+    assert len(idx.codes) == 2050
+    assert idx.tree is not None and idx.tree.n == 2050
+
+
+def test_compact_drops_deleted(built, small_dataset):
+    idx = DeltaPQIndex(built.codewords, built.codes.copy())
+    idx.remove([0, 1, 2])
+    idx.compact()
+    assert len(idx.codes) == 1997
+    assert not idx.deleted.any()
+
+
+def test_save_load_roundtrip(tmp_path, built, small_dataset):
+    p = str(tmp_path / "idx")
+    built.save(p)
+    idx2 = DeltaPQIndex.load(p)
+    q = small_dataset[:5]
+    d1, i1 = built.search(q, top_k=5)
+    d2, i2 = idx2.search(q, top_k=5)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6)
+    np.testing.assert_array_equal(i1, i2)
