@@ -12,8 +12,9 @@ follows.  Layers:
 """
 
 from .config import (PQConfig, TreeConfig, QueryConfig, ShardConfig)
+from .index import DeltaPQIndex
 
 __version__ = "0.1.0"
 
 __all__ = ["PQConfig", "TreeConfig", "QueryConfig", "ShardConfig",
-           "__version__"]
+           "DeltaPQIndex", "__version__"]
