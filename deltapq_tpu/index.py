@@ -44,6 +44,7 @@ class DeltaPQIndex:
         self.deleted = np.zeros(0, bool)  # lazily sized
         self.tree = None
         self._stream = None
+        self._cached_codes = None  # device/scan cache, built lazily
         if build_tree and self.K <= 256 and self.M <= 8 and len(codes):
             self._build_tree()
 
@@ -85,13 +86,22 @@ class DeltaPQIndex:
 
     def search(self, queries: np.ndarray, top_k: int = 10
                ) -> Tuple[np.ndarray, np.ndarray]:
-        """Top-k over main + tail, with deleted rows masked."""
+        """Top-k over main + tail, with deleted rows masked.
+
+        The padded code array is cached on device across calls
+        (invalidated by add/remove/compact); ``fetch`` is rounded up to
+        a power of two so growing delete counts don't recompile the
+        scan every call.
+        """
         from .ops import query_plain
 
         q = np.asarray(queries, np.float32)
         fetch = top_k + int(self.deleted.sum())
-        fetch = min(fetch, self.n)
-        d, i = query_plain(self.codewords, q, self._all_codes(),
+        fetch = min(1 << (max(fetch, 1) - 1).bit_length(), self.n)
+        fetch = max(fetch, top_k)
+        if self._cached_codes is None:
+            self._cached_codes = self._all_codes()
+        d, i = query_plain(self.codewords, q, self._cached_codes,
                            top_k=fetch, engine=self.engine)
         if self.deleted.any():
             dele = np.flatnonzero(self.deleted)
@@ -113,6 +123,7 @@ class DeltaPQIndex:
         new_codes = pq_encode(self.codewords, np.asarray(vecs))
         ids = np.arange(self.n, self.n + len(new_codes))
         self.tail = np.concatenate([self.tail, new_codes])
+        self._cached_codes = None
         if len(self.tail) > self.rebuild_fraction * max(len(self.codes), 1):
             self.compact()
         return ids
@@ -137,6 +148,7 @@ class DeltaPQIndex:
         self.codes = all_codes
         self.tail = np.empty((0, self.M), self.codes.dtype)
         self.deleted = np.zeros(0, bool)
+        self._cached_codes = None
         if self.K <= 256 and self.M <= 8 and len(self.codes):
             self._build_tree()
 
@@ -166,6 +178,16 @@ class DeltaPQIndex:
             from .tree import write_dtc
 
             write_dtc(os.path.join(path, "compressed.dtc"), self.tree)
+            t = self.tree
+            np.savez(os.path.join(path, "tree_soa.npz"),
+                     vec_id=t.vec_id, parent_pos=t.parent_pos,
+                     depth=t.depth, diff_num=t.diff_num,
+                     diff_off=t.diff_off, diff_m=t.diff_m,
+                     diff_to=t.diff_to,
+                     child_pos_start=t.child_pos_start,
+                     child_num=t.child_num, max_dist=t.max_dist,
+                     max_dist2p=t.max_dist2p, root_id=t.root_id,
+                     M=t.M, K=t.K)
 
     @classmethod
     def load(cls, path: str) -> "DeltaPQIndex":
@@ -173,7 +195,24 @@ class DeltaPQIndex:
         with open(os.path.join(path, "config.json")) as f:
             cfg = json.load(f)
         idx = cls(z["codewords"], z["codes"], engine=cfg["engine"],
-                  tree_method=cfg["method"], height=cfg["height"])
+                  tree_method=cfg["method"], height=cfg["height"],
+                  build_tree=False)
+        soa = os.path.join(path, "tree_soa.npz")
+        if os.path.exists(soa):
+            from .tree.layout import DeltaTree
+            from .tree import serialize_dtc
+
+            t = np.load(soa)
+            idx.tree = DeltaTree(
+                vec_id=t["vec_id"], parent_pos=t["parent_pos"],
+                depth=t["depth"], diff_num=t["diff_num"],
+                diff_off=t["diff_off"], diff_m=t["diff_m"],
+                diff_to=t["diff_to"],
+                child_pos_start=t["child_pos_start"],
+                child_num=t["child_num"], max_dist=t["max_dist"],
+                max_dist2p=t["max_dist2p"], root_id=int(t["root_id"]),
+                M=int(t["M"]), K=int(t["K"]))
+            idx._stream = serialize_dtc(idx.tree)
         if len(z["deleted"]):
             idx.deleted = z["deleted"]
         return idx

@@ -104,19 +104,25 @@ def _accumulate_onehot(codes, tables, M: int, K: int, B: int,
 def _adc_topk_kernel(codes_ref, *refs, top_k: int, precision: str):
     """One tile: distances + tile-local top-k extraction.
 
-    codes [TN, M] int32; one or two table refs [M*K, B];
-    out_d [1, top_k, B] f32; out_i [1, top_k, B] int32 (tile-local rows).
+    codes [TN, M] int32; n_valid (1,1) SMEM; one or two table refs
+    [M*K, B]; out_d [1, top_k, B] f32; out_i [1, top_k, B] int32
+    (tile-local rows).
     """
+    n_valid_ref = refs[0]
     n_tab = 2 if precision == "bf16x2" else 1
-    table_refs = refs[:n_tab]
-    out_d_ref, out_i_ref = refs[n_tab:]
+    table_refs = refs[1:1 + n_tab]
+    out_d_ref, out_i_ref = refs[1 + n_tab:]
     TN, M = codes_ref.shape
     MK, B = table_refs[0].shape
     K = MK // M
     acc = _accumulate_onehot(codes_ref[:], [t[:] for t in table_refs],
                              M, K, B, precision)
-    # extract top_k smallest per column with mask-and-argmin
+    # mask padding rows (beyond the true database size) so they cannot
+    # crowd valid rows out of the tile-local top-k
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (TN, B), 0)
+    tile_base = pl.program_id(0) * TN
+    acc = jnp.where(tile_base + iota_n < n_valid_ref[0, 0], acc, jnp.inf)
+    # extract top_k smallest per column with mask-and-argmin
     for j in range(top_k):
         dmin = jnp.min(acc, axis=0)                      # [B]
         amin = jnp.argmin(acc, axis=0).astype(jnp.int32)  # [B]
@@ -216,6 +222,8 @@ def adc_topk_pallas(table: jnp.ndarray, codes: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((tile_n, M), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             *table_specs,
         ],
         out_specs=[
@@ -233,7 +241,7 @@ def adc_topk_pallas(table: jnp.ndarray, codes: jnp.ndarray,
             bytes_accessed=N * M + M * K * B * 4
             + n_tiles * top_k * B * 8,
             transcendentals=0),
-    )(codes_i, *tables)
+    )(codes_i, jnp.asarray(n_valid, jnp.int32).reshape(1, 1), *tables)
 
     # global ids + padding mask, then one merge top-k
     base = (jnp.arange(n_tiles, dtype=jnp.int32) * tile_n)[:, None, None]
@@ -247,9 +255,11 @@ def adc_topk_pallas(table: jnp.ndarray, codes: jnp.ndarray,
 
 def _exact_dists_for_ids(table: jnp.ndarray, codes: jnp.ndarray,
                          ids: jnp.ndarray) -> jnp.ndarray:
-    """Recompute exact f32 distances for the final [B, k] winner ids."""
+    """Recompute exact f32 distances for the final [B, k] winner ids
+    (ids are clipped so sentinel/-1 entries read row 0 harmlessly)."""
     B, M, K = table.shape
-    cw = codes[ids]  # [B, k, M] via XLA gather (tiny)
+    safe = jnp.clip(ids, 0, codes.shape[0] - 1)
+    cw = codes[safe]  # [B, k, M] via XLA gather (tiny)
     tf = table.reshape(B, M * K)
     out = jnp.zeros(ids.shape, jnp.float32)
     for m in range(M):

@@ -117,13 +117,9 @@ def decoded_topk(xhat_hi: jnp.ndarray, xhat_lo: jnp.ndarray,
         return -neg, jnp.take_along_axis(cand_i, pos, axis=1)
 
     # exact rerank of the shortlist with f32 table lookups
-    M = table.shape[1]
-    K = table.shape[2]
-    tf = table.reshape(B, M * K)
-    cw = codes[jnp.clip(cand_i, 0, N - 1)].astype(jnp.int32)  # [B, S, M]
-    exact = jnp.zeros(cand_i.shape, jnp.float32)
-    for m in range(M):
-        exact = exact + jnp.take_along_axis(tf, m * K + cw[:, :, m], axis=1)
+    from .adc_pallas import _exact_dists_for_ids
+
+    exact = _exact_dists_for_ids(table, codes.astype(jnp.int32), cand_i)
     exact = jnp.where(jnp.isfinite(cand_d), exact, jnp.inf)
     neg, pos = jax.lax.top_k(-exact, top_k)
     return -neg, jnp.take_along_axis(cand_i, pos, axis=1)

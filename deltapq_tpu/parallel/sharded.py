@@ -24,7 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from .mesh import make_mesh, pad_to_shards
+from .mesh import make_mesh
 from ..ops.adc import adc_table, adc_tile_dists
 
 
@@ -38,9 +38,13 @@ def _local_scan_topk(table, codes_local, n_valid, base, top_k, tile_n,
     ops.adc.adc_query_topk but with a global id offset)."""
     B = table.shape[0]
     n_local = codes_local.shape[0]
-    n_tiles = max(1, n_local // tile_n)
-    codes_t = codes_local.reshape(n_tiles, -1, codes_local.shape[1])
-    tile = codes_t.shape[1]
+    if n_local % tile_n != 0:
+        # fall back to one tile covering the shard (callers normally
+        # pad per-shard rows to a multiple of tile_n)
+        tile_n = n_local
+    n_tiles = n_local // tile_n
+    codes_t = codes_local.reshape(n_tiles, tile_n, codes_local.shape[1])
+    tile = tile_n
 
     init_d = jnp.full((B, top_k), jnp.inf, jnp.float32)
     init_i = jnp.full((B, top_k), -1, jnp.int32)
@@ -114,13 +118,16 @@ def sharded_query_plain(codewords: np.ndarray, queries: np.ndarray,
     axis = mesh.axis_names[0]
     n_shards = mesh.devices.size
     n_valid = codes.shape[0]
-    # pad rows so each shard gets the same count, a multiple of tiles
-    per = -(-n_valid // n_shards)
-    per = max(256, per)
-    codes_p = pad_to_shards(np.asarray(codes), n_shards * per)[: n_shards * per]
-    if codes_p.shape[0] < n_shards * per:
+    # pad rows so each shard gets the same count, a multiple of the
+    # scan tile (per-shard rows must divide evenly into tiles)
+    tile_n = min(tile_n, 8192)
+    per = max(256, -(-n_valid // n_shards))
+    per = -(-per // tile_n) * tile_n if per > tile_n else per
+    total = n_shards * per
+    codes_p = np.asarray(codes)
+    if codes_p.shape[0] < total:
         codes_p = np.concatenate(
-            [codes_p, np.zeros((n_shards * per - codes_p.shape[0],
+            [codes_p, np.zeros((total - codes_p.shape[0],
                                 codes.shape[1]), codes.dtype)])
     cw = jnp.asarray(codewords, jnp.float32)
     M, K, Ds = codewords.shape

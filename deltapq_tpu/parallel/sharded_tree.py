@@ -55,24 +55,29 @@ class ShardedDeltaPack:
 
 def build_sharded_trees(codes: np.ndarray, K: int, n_shards: int,
                         codewords: np.ndarray, **tree_kwargs
-                        ) -> List[DeltaTree]:
+                        ) -> Tuple[List[DeltaTree], np.ndarray]:
     """Split rows into contiguous partitions and build one DeltaTree per
-    partition (independent builds — the multi-host build path)."""
+    partition (independent builds — the multi-host build path).
+
+    Returns (trees, true_sizes): a shard with no rows gets a 1-row
+    dummy tree whose true size is 0 (its results are masked out)."""
     n = len(codes)
     per = -(-n // n_shards)
     trees = []
+    sizes = np.zeros(n_shards, np.int32)
     for s in range(n_shards):
         part = codes[s * per:(s + 1) * per]
+        sizes[s] = len(part)
         if len(part) == 0:
-            part = codes[:1]  # degenerate shard: single row
+            part = codes[:1]  # degenerate shard: dummy row, size 0
         res = find_edges_by_diff(part, K=K, **tree_kwargs)
         trees.append(build_layout(part, res.edges, res.root_id, K=K,
                                   codewords=codewords))
-    return trees
+    return trees, sizes
 
 
-def build_sharded_pack(trees: List[DeltaTree], row_bases: np.ndarray
-                       ) -> ShardedDeltaPack:
+def build_sharded_pack(trees: List[DeltaTree], row_bases: np.ndarray,
+                       true_sizes: np.ndarray = None) -> ShardedDeltaPack:
     packs = [build_delta_pack(t) for t in trees]
     S = len(packs)
     M, K = packs[0].M, packs[0].K
@@ -122,7 +127,7 @@ def build_sharded_pack(trees: List[DeltaTree], row_bases: np.ndarray
             np.int64).max]]), lm, side="right")
         local_in_level = lm - own_off[lev]
         db_to_lm[s, :p.n] = (pad_off[lev] + local_in_level).astype(np.int32)
-        n_local[s] = p.n
+        n_local[s] = p.n if true_sizes is None else int(true_sizes[s])
     root_idx = np.stack([np.arange(M, dtype=np.int32) * K + p.root_code
                          for p in packs])
     return ShardedDeltaPack(levels=levels, root_idx=root_idx,
@@ -171,7 +176,16 @@ def make_sharded_compressed_query_fn(mesh: Mesh, pack: ShardedDeltaPack,
         valid = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1) \
             < n_local[0]
         db_dist = jnp.where(valid, db_dist, jnp.inf)
-        d, li = smallest_k(db_dist, top_k, select="exact")
+        # a shard can hold fewer rows than top_k; clamp the local k and
+        # pad candidates so the cross-shard merge stays uniform
+        k_local = min(top_k, n_pad)
+        d, li = smallest_k(db_dist, k_local, select="exact")
+        if k_local < top_k:
+            pad = top_k - k_local
+            d = jnp.concatenate(
+                [d, jnp.full((B, pad), jnp.inf, jnp.float32)], axis=1)
+            li = jnp.concatenate(
+                [li, jnp.full((B, pad), 0, jnp.int32)], axis=1)
         gids = li + row_base[0]
         all_d = jax.lax.all_gather(d, axis)
         all_i = jax.lax.all_gather(gids, axis)
@@ -208,9 +222,9 @@ def sharded_query_compressed(codewords: np.ndarray, codes: np.ndarray,
     n = len(codes)
     per = -(-n // S)
     row_bases = np.arange(S, dtype=np.int32) * per
-    trees = build_sharded_trees(codes, int(codewords.shape[1]), S,
-                                codewords, **tree_kwargs)
-    pack = build_sharded_pack(trees, row_bases)
+    trees, sizes = build_sharded_trees(codes, int(codewords.shape[1]), S,
+                                       codewords, **tree_kwargs)
+    pack = build_sharded_pack(trees, row_bases, sizes)
     M, K, Ds = codewords.shape
     q = np.asarray(queries, np.float32)
     if q.shape[1] < M * Ds:

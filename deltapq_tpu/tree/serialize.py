@@ -48,6 +48,14 @@ def serialize_dtc(tree: DeltaTree) -> bytes:
         raise NotImplementedError(
             "DTC bitmap is a single byte (reference NUM_DIM=8, "
             "deltapq_create_approx_tree.h:36); M>8 cannot round-trip")
+    if n > 1 and int(tree.depth.max()) > 15:
+        # the paired-depth byte stores two 4-bit nibbles (:1781-1788);
+        # deeper trees (reachable with -h > 1) cannot round-trip — the
+        # reference silently corrupts here (and even masks &7 on read)
+        raise ValueError(
+            f"tree depth {int(tree.depth.max())} exceeds the DTC "
+            f"format's 4-bit depth nibble (max 15); rebuild with a "
+            f"smaller -h or re-root (tree/reroot.py)")
     # per-node (DFS pos 1..n-1) record sizes
     nd = tree.diff_num[1:].astype(np.int64)       # [n-1]
     j = np.arange(n - 1, dtype=np.int64)          # node index within stream

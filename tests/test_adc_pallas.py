@@ -210,3 +210,32 @@ def test_tiledict_engine_dfs_order(monkeypatch, small_dataset):
     d_ref, i_ref = query_plain(cw, q, codes, top_k=5, engine="xla")
     np.testing.assert_allclose(np.sort(d, 1), np.sort(d_ref, 1),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_argmin_padding_regression(monkeypatch):
+    """Regression (code-review finding): padding rows must be masked
+    INSIDE the argmin kernel or they crowd valid rows out of the last
+    tile's local top-k."""
+    from jax.experimental import pallas as pl
+    import deltapq_tpu.ops.adc_pallas as ap
+
+    M, K, B = 1, 8, 2
+    # table[*, 0, 0] = 0 so padding rows (code 0) would score best
+    table = np.arange(1, B * M * K + 1, dtype=np.float32).reshape(B, M, K)
+    table[:, 0, 0] = 0.0
+    # 10 valid rows with codes 1..7 (never 0), padded to 16
+    codes = np.array([[1], [2], [3], [4], [5], [6], [7], [1], [2], [3]],
+                     np.uint8)
+    codes_p = np.concatenate([codes, np.zeros((6, 1), np.uint8)])
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call",
+                        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    d, i = ap.adc_topk_pallas.__wrapped__(
+        jnp.asarray(table), jnp.asarray(codes_p), jnp.int32(10),
+        top_k=6, tile_n=8, precision="f32")
+    i = np.asarray(i)
+    assert np.all(i < 10), i  # no padding ids may appear
+    full = _np_dists(table, codes)
+    ref = np.argsort(full, axis=1, kind="stable")[:, :6]
+    for b in range(B):
+        assert set(i[b]) == set(ref[b])
