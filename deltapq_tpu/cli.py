@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-engine", default="auto",
                    choices=["auto", "xla", "pallas", "decoded"],
                    help="plain-scan engine (see docs/ARCHITECTURE.md)")
+    p.add_argument("-force", type=int, default=0,
+                   help="rebuild artifacts even if cached files exist "
+                        "(reference semantics: every stage is cached and "
+                        "skipped when its file exists, exists_test3)")
     return p
 
 
@@ -116,6 +120,12 @@ def task_learn(args, metrics: Metrics):
 
     from .ops import pq_learn
 
+    out_path = os.path.join(args.dataset,
+                            codewords_filename(PQConfig(M=args.m, K=args.k)))
+    if os.path.exists(out_path) and not args.force:
+        print(f"REMINDER: codewords exist, skipping (use -force 1): "
+              f"{out_path}")
+        return
     learn_path = os.path.join(args.dataset, f"learn.{args.ext}")
     with metrics.stage("read"):
         # load pool of 100K, shuffle, cut to train_size (main.cpp:250-264)
@@ -152,6 +162,11 @@ def task_encode(args, metrics: Metrics):
     total = num_vectors(base, args.ext)
     if args.N > 0:
         total = min(total, args.N)
+    out_path = os.path.join(args.dataset, codes_filename(cfg, total))
+    if os.path.exists(out_path) and not args.force:
+        print(f"REMINDER: code file exists, skipping (use -force 1): "
+              f"{out_path}")
+        return
     chunks = []
     with metrics.stage("encode"):
         for batch in iter_vec_batches(base, ext=args.ext,
@@ -257,6 +272,13 @@ def task_approx_tree(args, metrics: Metrics):
     cw = read_codewords(os.path.join(args.dataset, codewords_filename(cfg)))
     codes = _load_codes(args)
     n = len(codes)
+    done = os.path.join(args.dataset,
+                        compressed_codes_filename(cfg, tcfg, n))
+    if os.path.exists(done) and os.path.exists(done + ".soa.npz") \
+            and not args.force:
+        print(f"REMINDER: DPNode file exists. No need to rebuild! "
+              f"(use -force 1)\n    {done}")
+        return
     with metrics.stage("find_edges"):
         res = find_edges_by_diff(codes, K=args.k,
                                  diff_argument=tcfg.resolved_diff(args.m),

@@ -116,3 +116,14 @@ def test_diff_scan_and_accuracy_cli(dataset_dir):
 def test_query_compressed_engine_fallbacks(dataset_dir):
     run(dataset_dir, "-task", "query_compressed", "-topk", "5",
         "-engine", "xla")
+
+
+def test_artifact_caching_skips_rebuild(dataset_dir, capsys):
+    # second invocation of cached stages must skip (reference
+    # exists_test3 semantics)
+    run(dataset_dir, "-task", "learn", "-train_size", "500")
+    out = capsys.readouterr().out
+    assert "skipping" in out or "REMINDER" in out
+    run(dataset_dir, "-task", "approx_tree")
+    out = capsys.readouterr().out
+    assert "No need to rebuild" in out
