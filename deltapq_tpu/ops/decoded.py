@@ -88,8 +88,9 @@ def decoded_topk(xhat_hi: jnp.ndarray, xhat_lo: jnp.ndarray,
     """
     B, D = queries.shape
     N = xhat_hi.shape[0]
-    shortlist = min(max(16 * top_k, 64), 2048, N) if rerank else \
-        min(max(4 * top_k, 32), 1024, N)
+    # a larger shortlist costs only the final small top_k, so keep the
+    # approx_min_k recall headroom in both modes
+    shortlist = min(max(16 * top_k, 64), 2048, N)
 
     q_hi = queries.astype(jnp.bfloat16)
     q_lo = (queries - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
