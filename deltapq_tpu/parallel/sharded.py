@@ -184,3 +184,113 @@ def make_dp_lloyd_step(mesh: Mesh, axis: str = "shard"):
         in_specs=(P(None, axis, None), P()),
         out_specs=(P(), P()), check_vma=False)
     return jax.jit(mapped)
+
+
+# --------------------------------------------------------------------------
+# Sharded decoded-cache engine (the high-QPS tier over the mesh)
+# --------------------------------------------------------------------------
+
+def make_sharded_decoded_query_fn(mesh: Mesh, top_k: int,
+                                  precision: str = "bf16x2",
+                                  axis: str = "shard"):
+    """Sharded decoded-cache query: xhat_hi/lo [N_pad, D], precomp
+    [N_pad] and codes [N_pad, M] sharded along N; table + queries
+    replicated.  Per shard: matmul scan + approx shortlist + exact f32
+    rerank, then one all-gather top-k merge (ids are global rows).
+
+    precomp must carry +inf on padding rows (DecodedEngine convention).
+    """
+    n_shards = mesh.devices.size
+
+    def body(table, queries, hi, lo, pre, codes_local):
+        B = queries.shape[0]
+        rows = hi.shape[0]
+        base = jax.lax.axis_index(axis).astype(jnp.int32) * rows
+        q_hi = queries.astype(jnp.bfloat16)
+        q_lo = (queries - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        q2 = jnp.sum(queries * queries, axis=1)
+        cross = jnp.dot(hi, q_hi.T, preferred_element_type=jnp.float32)
+        if precision == "bf16x2":
+            cross = (cross
+                     + jnp.dot(hi, q_lo.T,
+                               preferred_element_type=jnp.float32)
+                     + jnp.dot(lo, q_hi.T,
+                               preferred_element_type=jnp.float32))
+        d = pre[:, None] - 2.0 * cross + q2[None, :]  # [rows, B]
+        shortlist = min(max(16 * top_k, 64), 1024, rows)
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        if on_tpu and rows > 16384:
+            cd, ci = jax.lax.approx_min_k(d, shortlist,
+                                          reduction_dimension=0,
+                                          recall_target=0.99)
+            cd, ci = cd.T, ci.T
+        else:
+            neg, ci = jax.lax.top_k(-d.T, shortlist)
+            cd = -neg
+        ci = ci.astype(jnp.int32)
+        # exact f32 rerank on the local shortlist
+        from ..ops.adc_pallas import _exact_dists_for_ids
+
+        exact = _exact_dists_for_ids(table, codes_local.astype(jnp.int32),
+                                     ci)
+        exact = jnp.where(jnp.isfinite(cd), exact, jnp.inf)
+        k_local = min(top_k, shortlist)
+        neg, pos = jax.lax.top_k(-exact, k_local)
+        li = jnp.take_along_axis(ci, pos, axis=1)
+        dloc = -neg
+        if k_local < top_k:
+            pad = top_k - k_local
+            dloc = jnp.concatenate(
+                [dloc, jnp.full((B, pad), jnp.inf, jnp.float32)], axis=1)
+            li = jnp.concatenate(
+                [li, jnp.zeros((B, pad), jnp.int32)], axis=1)
+        gids = li + base
+        all_d = jax.lax.all_gather(dloc, axis)
+        all_i = jax.lax.all_gather(gids, axis)
+        cat_d = jnp.moveaxis(all_d, 0, 1).reshape(B, n_shards * top_k)
+        cat_i = jnp.moveaxis(all_i, 0, 1).reshape(B, n_shards * top_k)
+        neg, pos = jax.lax.top_k(-cat_d, top_k)
+        return -neg, jnp.take_along_axis(cat_i, pos, axis=1)
+
+    mapped = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()), check_vma=False)
+    return jax.jit(mapped)
+
+
+def sharded_query_decoded(codewords: np.ndarray, queries: np.ndarray,
+                          codes: np.ndarray, top_k: int = 10,
+                          mesh: Optional[Mesh] = None,
+                          precision: str = "bf16x2"
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """End-to-end sharded decoded-cache query over all local devices."""
+    from ..ops.decoded import build_decoded_cache
+
+    if mesh is None:
+        mesh = make_mesh()
+    axis = mesh.axis_names[0]
+    S = mesh.devices.size
+    n_valid = codes.shape[0]
+    per = max(8, -(-n_valid // S))
+    total = S * per
+    codes_p = np.asarray(codes)
+    if len(codes_p) < total:
+        codes_p = np.concatenate(
+            [codes_p, np.zeros((total - len(codes_p), codes.shape[1]),
+                               codes.dtype)])
+    hi, lo, pre = build_decoded_cache(codewords, codes_p)
+    pre[n_valid:] = np.inf
+    M, K, Ds = codewords.shape
+    q = np.asarray(queries, np.float32)
+    if q.shape[1] < M * Ds:
+        q = np.pad(q, ((0, 0), (0, M * Ds - q.shape[1])))
+    table = adc_table(jnp.asarray(codewords, jnp.float32), jnp.asarray(q))
+    sh = NamedSharding(mesh, P(axis))
+    args = (jax.device_put(np.asarray(hi), sh),
+            jax.device_put(np.asarray(lo), sh),
+            jax.device_put(pre, sh),
+            jax.device_put(codes_p, sh))
+    fn = make_sharded_decoded_query_fn(mesh, top_k, precision, axis)
+    d, i = fn(table, jnp.asarray(q), *args)
+    return np.asarray(d), np.asarray(i)

@@ -92,3 +92,16 @@ def test_continuous_batcher_order_and_padding(rng, small_dataset):
     got = np.concatenate([i for _, i in outs])[:25]
     d_ref, i_ref = query_plain(cw, q, codes, top_k=3, tile_n=512)
     np.testing.assert_array_equal(got, i_ref)
+
+
+def test_sharded_decoded_matches_single_device(rng, small_dataset):
+    from deltapq_tpu.parallel.sharded import sharded_query_decoded
+    cw = pq_learn(jax.random.PRNGKey(0), small_dataset, M=4, K=16,
+                  max_iters=10)
+    codes = pq_encode(cw, small_dataset)
+    q = rng.normal(size=(5, small_dataset.shape[1])).astype(np.float32) * 3
+    d_ref, i_ref = query_plain(cw, q, codes, top_k=10, tile_n=512)
+    for nd in (2, 8):
+        mesh = make_mesh(nd)
+        d, i = sharded_query_decoded(cw, q, codes, top_k=10, mesh=mesh)
+        np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)
