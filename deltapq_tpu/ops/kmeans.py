@@ -134,22 +134,42 @@ def kmeans(key: jax.Array, x: jnp.ndarray, K: int, max_iters: int = 100,
 
 
 def pq_learn(key: jax.Array, vecs: np.ndarray, M: int, K: int,
-             max_iters: int = 100, tol: float = 1.0, n_init: int = 3
-             ) -> np.ndarray:
+             max_iters: int = 100, tol: float = 1.0, n_init: int = 3,
+             device: str = "auto") -> np.ndarray:
     """Learn a PQ codebook: returns codewords f32 [M, K, Ds].
 
     Splits the (zero-padded, ``pq.cpp:113-124``) dimensions into M
-    contiguous slices and runs all M k-means problems as one vmapped TPU
+    contiguous slices and runs all M k-means problems as one vmapped
     program (the reference loops subspaces serially, ``pq.cpp:139-156``).
+
+    device: "auto" runs the (offline, small-data) training on the CPU
+    backend when the active platform is the remote-TPU relay ("axon"),
+    whose compile service chokes on the vmapped kmeans++ scan; "default"
+    uses whatever JAX selects.
     """
-    vecs = jnp.asarray(vecs, jnp.float32)
+    target = None
+    if device == "auto" and jax.default_backend() == "axon":
+        cpus = jax.local_devices(backend="cpu")
+        if cpus:
+            target = cpus[0]
+    vecs = np.asarray(vecs, np.float32)
     n, D = vecs.shape
     pad = (-D) % M
     if pad:
-        vecs = jnp.pad(vecs, ((0, 0), (0, pad)))
+        vecs = np.pad(vecs, ((0, 0), (0, pad)))
     Ds = (D + pad) // M
-    sub = vecs.reshape(n, M, Ds).transpose(1, 0, 2)  # [M, n, Ds]
+    sub_np = np.ascontiguousarray(
+        vecs.reshape(n, M, Ds).transpose(1, 0, 2))  # [M, n, Ds]
     keys = jax.random.split(key, M)
+    if target is not None:
+        # commit inputs to the CPU backend so the whole program runs
+        # there (a default_device context is not honored by the axon
+        # relay's platform selection)
+        sub = jax.device_put(sub_np, target)
+        keys = jax.device_put(np.asarray(keys), target)
+    else:
+        sub = jnp.asarray(sub_np)
     centers, _, _ = jax.vmap(
-        lambda k, xs: kmeans(k, xs, K, max_iters, tol, n_init))(keys, sub)
+        lambda k, xs: kmeans(k, xs, K, max_iters, tol, n_init)
+    )(keys, sub)
     return np.asarray(centers)
