@@ -251,6 +251,15 @@ def task_query(args, metrics: Metrics):
             from .ops.decoded import DecodedEngine
             eng = DecodedEngine(cw, codes)
             d, i = eng.query(q, top_k=args.topk)
+        elif len(q) > args.batch:
+            # continuous batching: fixed-size dispatches, double-buffered
+            from .parallel.runtime import ContinuousBatcher, batch_iterator
+            outs = list(ContinuousBatcher(
+                lambda b: query_plain(cw, b, codes, top_k=args.topk,
+                                      engine=args.engine)).run(
+                batch_iterator(q, args.batch)))
+            d = np.concatenate([o[0] for o in outs])[:len(q)]
+            i = np.concatenate([o[1] for o in outs])[:len(q)]
         else:
             d, i = query_plain(cw, q, codes, top_k=args.topk,
                                engine=args.engine)

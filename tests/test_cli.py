@@ -127,3 +127,8 @@ def test_artifact_caching_skips_rebuild(dataset_dir, capsys):
     run(dataset_dir, "-task", "approx_tree")
     out = capsys.readouterr().out
     assert "No need to rebuild" in out
+
+
+def test_query_continuous_batching(dataset_dir):
+    run(dataset_dir, "-task", "query", "-topk", "5", "-batch", "8",
+        "-engine", "xla")
