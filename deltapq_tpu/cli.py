@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import os
 import sys
 import time
@@ -98,7 +99,12 @@ def _load_codes(args):
             raise FileNotFoundError(
                 f"no code file for M={args.m} K={args.k} in {args.dataset}; "
                 f"run -task encode first")
-        path = sorted(cands)[0]
+        # pick the largest N numerically (lexicographic sort would pick
+        # e.g. N10000 over N2000 arbitrarily)
+        def _n_suffix(p):
+            m = re.search(r"N(\d+)$", p)
+            return int(m.group(1)) if m else -1
+        path = max(cands, key=_n_suffix)
     codes, _ = read_codes(path, M=args.m, K=args.k)
     if n > 0:
         codes = codes[:n]

@@ -98,7 +98,7 @@ class DeltaPQIndex:
         q = np.asarray(queries, np.float32)
         fetch = top_k + int(self.deleted.sum())
         fetch = min(1 << (max(fetch, 1) - 1).bit_length(), self.n)
-        fetch = max(fetch, top_k)
+        fetch = min(max(fetch, top_k), self.n)  # never exceed rows
         if self._cached_codes is None:
             self._cached_codes = self._all_codes()
         d, i = query_plain(self.codewords, q, self._cached_codes,
@@ -110,7 +110,17 @@ class DeltaPQIndex:
             order = np.argsort(d, axis=1, kind="stable")
             d = np.take_along_axis(d, order, axis=1)
             i = np.take_along_axis(i, order, axis=1)
-        return d[:, :top_k], i[:, :top_k]
+        if fetch < top_k:  # top_k > live rows: pad explicitly
+            pad = top_k - fetch
+            d = np.concatenate(
+                [d, np.full((len(d), pad), np.inf, d.dtype)], axis=1)
+            i = np.concatenate(
+                [i, np.full((len(i), pad), -1, i.dtype)], axis=1)
+        d, i = d[:, :top_k], i[:, :top_k]
+        # rows that ran out of live candidates (mass deletes) are
+        # marked invalid explicitly instead of returning deleted ids
+        i = np.where(np.isinf(d), -1, i)
+        return d, i
 
     # -- updates -----------------------------------------------------------
 
@@ -166,6 +176,12 @@ class DeltaPQIndex:
         return out
 
     def save(self, path: str) -> None:
+        # fold tail/deletes in first: the persisted DTC stream and tree
+        # SoA must describe exactly the persisted code rows (otherwise
+        # a load would see tree.n != len(codes) and stats/bytes_per_vec
+        # would describe a stale subset)
+        if len(self.tail) or (len(self.deleted) and self.deleted.any()):
+            self.compact()
         os.makedirs(path, exist_ok=True)
         np.savez(os.path.join(path, "index.npz"),
                  codewords=self.codewords, codes=self._all_codes(),

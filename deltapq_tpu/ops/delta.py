@@ -171,11 +171,15 @@ def make_compressed_query_fn(pack: DeltaPack):
 
 def query_compressed(pack: DeltaPack, codewords: np.ndarray,
                      queries: np.ndarray, top_k: int = 10,
-                     select: str = "auto"
+                     select: str = "exact"
                      ) -> Tuple[np.ndarray, np.ndarray]:
     """End-to-end compressed query: ADC tables + level-wise traversal +
     top-k.  Returns (dists [B, top_k], ids [B, top_k]) in database-id
-    space (ascending distance)."""
+    space (ascending distance).
+
+    select defaults to "exact" so compressed-query results match the
+    reference's exact top-k; pass "approx"/"auto" to trade exact
+    selection for the cheaper ``approx_min_k`` shortlist."""
     from .adc import adc_table
     from .topk import smallest_k
 

@@ -1,0 +1,172 @@
+"""Delta-tile format: the TPU-native compressed code representation.
+
+The reference stores the DeltaTree as a sequential DFS byte stream
+(depth nibbles + bitmap + diff bytes,
+``qnodes_to_compressed_codes_opt``, ``deltapq_create_approx_tree.h:
+1730-1845``) and decodes it with a per-depth stack — inherently serial.
+The TPU query format re-linearizes the same information so a Pallas
+kernel can decode a whole tile in parallel:
+
+* rows are the DFS-ordered codes (the tree's locality: consecutive DFS
+  rows share most subspaces), split into tiles of ``TILE`` rows;
+* each row stores its diff **vs the previous row** (the reference's own
+  sequential-diff representation, ``create_diff_index``, ``:1972-2053``,
+  applied to DFS order) as one mask byte + up to ``S`` fixed value
+  slots;
+* rows with more than ``S`` diffs — and always the first row of every
+  tile, which makes tiles self-contained — store their full code in a
+  per-tile **overflow list** and an all-ones mask byte.
+
+In-kernel decode is then (a) scatter slot/overflow values into a
+[TILE, M] "hole" matrix via vectorized bit arithmetic (no gathers),
+(b) a log2(TILE)-step forward-fill down the rows — the parallel
+equivalent of the reference's decode stack.
+
+Size: ``(1 + S)`` bytes/row + ``Cap * M / TILE`` overflow bytes/row,
+with S chosen per dataset to minimize the total.  On clustered 1M codes
+this lands near the DTC stream's ~2.7 B/vec (vs 8 B/vec plain codes,
+256+ B/vec decoded cache).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+TILE = 1024
+
+
+@dataclass
+class DeltaTiles:
+    """Device-ready delta-compressed code tiles (scan order = DFS)."""
+
+    row_data: np.ndarray   # u8 [nT, TILE, 1+S]: mask byte + S value slots
+    ovf: np.ndarray        # u8 [nT, Cap, M]: full codes of overflow rows
+    n_valid: int           # true database size (padding rows after)
+    M: int
+    S: int
+    Cap: int
+
+    @property
+    def n_tiles(self) -> int:
+        return self.row_data.shape[0]
+
+    @property
+    def n_pad(self) -> int:
+        return self.n_tiles * TILE
+
+    def nbytes(self) -> int:
+        return self.row_data.nbytes + self.ovf.nbytes
+
+    def bytes_per_vec(self) -> float:
+        return self.nbytes() / max(self.n_valid, 1)
+
+
+def _mask_bytes(bits: np.ndarray) -> np.ndarray:
+    """[N, M] bool -> [N] uint8 with bit m set iff bits[:, m]."""
+    M = bits.shape[1]
+    w = (1 << np.arange(M, dtype=np.uint32))[None, :]
+    return (bits.astype(np.uint32) * w).sum(axis=1).astype(np.uint8)
+
+
+def build_delta_tiles(codes: np.ndarray, S: Optional[int] = None,
+                      cap_unit: int = 128) -> DeltaTiles:
+    """Pack scan-ordered codes into delta tiles.
+
+    codes: u8 [N, M] in scan (DFS) order, M <= 8, K <= 256.
+    S: value slots per row (None = pick the S in 1..4 minimizing total
+    bytes).  Padding rows (to a TILE multiple) repeat the last row
+    (zero diffs); they are masked out at query time via n_valid.
+    """
+    codes = np.asarray(codes, np.uint8)
+    n, M = codes.shape
+    if M > 8:
+        raise NotImplementedError("delta tiles require M <= 8 "
+                                  "(u8 mask); use the codes tier")
+    n_pad = -(-n // TILE) * TILE
+    c = np.concatenate([codes, np.repeat(codes[-1:], n_pad - n, axis=0)]
+                       ) if n_pad != n else codes
+    nt = n_pad // TILE
+
+    prev = np.empty_like(c)
+    prev[0] = 0
+    prev[1:] = c[:-1]
+    bits = c != prev
+    first = (np.arange(n_pad) % TILE) == 0
+    bits[first] = True
+    nd = bits.sum(axis=1)
+
+    def cap_for(s: int) -> int:
+        ovf = first | (nd > s)
+        per_tile = ovf.reshape(nt, TILE).sum(axis=1)
+        return int(-(-per_tile.max() // cap_unit) * cap_unit)
+
+    if S is None:
+        best = None
+        for s in range(1, min(4, M - 1) + 1):
+            total = n_pad * (1 + s) + nt * cap_for(s) * M
+            if best is None or total < best[0]:
+                best = (total, s)
+        S = best[1]
+    Cap = cap_for(S)
+
+    is_ovf = first | (nd > S)
+    mask = np.where(is_ovf, (1 << M) - 1, _mask_bytes(bits))
+
+    rank = np.cumsum(bits, axis=1) - bits      # exclusive per-row rank
+    slots = np.zeros((n_pad, S), np.uint8)
+    fixed = bits & ~is_ovf[:, None]
+    for j in range(S):
+        rows, cols = np.nonzero(fixed & (rank == j))
+        slots[rows, j] = c[rows, cols]
+
+    row_data = np.concatenate([mask[:, None].astype(np.uint8), slots],
+                              axis=1).reshape(nt, TILE, 1 + S)
+
+    ovf_flags = is_ovf.reshape(nt, TILE)
+    ovf_rank = np.cumsum(ovf_flags, axis=1) - ovf_flags
+    ovf = np.zeros((nt, Cap, M), np.uint8)
+    t_idx, r_idx = np.nonzero(ovf_flags)
+    ovf[t_idx, ovf_rank[t_idx, r_idx]] = c.reshape(nt, TILE, M)[
+        t_idx, r_idx]
+
+    return DeltaTiles(row_data=row_data, ovf=ovf, n_valid=n, M=M, S=S,
+                      Cap=Cap)
+
+
+def decode_delta_tiles(dt: DeltaTiles) -> np.ndarray:
+    """NumPy reference decoder (the kernel's oracle): reconstructs the
+    scan-ordered [n_valid, M] codes via the same scatter + forward-fill
+    the Pallas kernel runs."""
+    nt, T, _ = dt.row_data.shape
+    M, S = dt.M, dt.S
+    mask = dt.row_data[:, :, 0].astype(np.uint32)           # [nT, T]
+    out = np.empty((nt, T, M), np.int32)
+
+    bit = ((mask[:, :, None] >> np.arange(M)[None, None, :]) & 1
+           ).astype(np.int64)                               # [nT, T, M]
+    rank = np.cumsum(bit, axis=2) - bit
+    nd = bit.sum(axis=2)
+    is_ovf = nd > S
+    ovf_rank = (np.cumsum(is_ovf, axis=1) - is_ovf)
+
+    H = np.full((nt, T, M), -1, np.int32)
+    for j in range(S):
+        sel = (bit == 1) & (rank == j) & ~is_ovf[:, :, None]
+        vals = dt.row_data[:, :, 1 + j].astype(np.int32)
+        H = np.where(sel, vals[:, :, None], H)
+    t_i, r_i = np.nonzero(is_ovf)
+    H[t_i, r_i] = dt.ovf[t_i, ovf_rank[t_i, r_i]]
+
+    # forward-fill down the rows (holes = -1)
+    s = 1
+    while s < T:
+        shifted = np.full_like(H, -1)
+        shifted[:, s:] = H[:, :-s]
+        H = np.where(H >= 0, H, shifted)
+        s *= 2
+    assert (H >= 0).all(), "tile row 0 must be a full (overflow) code"
+    out = H
+    return out.reshape(nt * T, M)[:dt.n_valid].astype(np.uint8)

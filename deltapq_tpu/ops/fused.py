@@ -1,0 +1,229 @@
+"""Fused-scan engines: the production query tiers.
+
+Three engines over the shared fused Pallas kernels
+(``fused_pallas.py``) + exact-rerank epilogue.  All report **exact f32
+ADC distances** (identical to the reference plain scan's values) and
+carry a per-query exactness certificate:
+
+======================  ============  =================================
+engine                  HBM B/vec     kernel input
+======================  ============  =================================
+FusedDecodedEngine      D*2 + 4       bf16 decoded cache (fastest)
+FusedCodesEngine        M             u8 codes, one-hot decode on MXU
+FusedCompressedEngine   ~3 (data-     delta tiles (mask+slots+overflow)
+                        dependent)    decoded fully in-kernel
+======================  ============  =================================
+
+The compressed engine is the TPU realization of the reference's
+compressed-stream query
+(``query_processing_scan_compressed_codes_opt_o_direct``,
+``deltapq_create_approx_tree.h:2805-2984``): same information content
+(DFS-ordered diffs), decoded tile-parallel instead of stack-serial.
+Its rerank reads the kernel's own decoded-codes output, so no plain
+code array needs to stay resident.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .adc import adc_table
+from .decoded import build_decoded_cache
+from .delta_tiles import TILE, DeltaTiles, build_delta_tiles
+from . import fused_pallas as fp
+
+
+def _pad_queries(queries: np.ndarray, d_pad: int, b_mult: int = 128
+                 ) -> Tuple[np.ndarray, int]:
+    q = np.asarray(queries, np.float32)
+    b = q.shape[0]
+    b_pad = -(-b // b_mult) * b_mult
+    out = np.zeros((b_pad, d_pad), np.float32)
+    out[:b, :q.shape[1]] = q
+    return out, b
+
+
+def _default_n_sub(top_k: int, ns_total: int) -> int:
+    """Subtile candidate count: 16x over-provision of top_k rows,
+    bounded to the database."""
+    want = -(-16 * top_k // fp.SUB)
+    return int(max(8, min(want, max(ns_total - 1, 1))))
+
+
+def _select_with_escalation(mins_bn, q2, table, codes_dev, n_valid,
+                            top_k, n_sub):
+    """Run select_rerank, escalating the candidate pool 4x whenever a
+    query's exactness certificate fails (equal-distance pileups at the
+    fence), with a terminal full exact scan.  Returns (d, rows,
+    exact_frac_before_escalation)."""
+    ns_total = mins_bn.shape[1]
+    ns = min(n_sub, max(ns_total - 1, 1))
+    d, rows, ok = fp.select_rerank(mins_bn, q2, table, codes_dev,
+                                   n_valid, top_k, ns)
+    first_frac = float(jnp.mean(ok))
+    okh = bool(jnp.all(ok))
+    while not okh and ns < ns_total - 1:
+        ns = min(ns * 4, ns_total - 1)
+        d, rows, ok = fp.select_rerank(mins_bn, q2, table, codes_dev,
+                                       n_valid, top_k, ns)
+        okh = bool(jnp.all(ok))
+    if not okh:
+        from .adc import adc_query_topk
+
+        d, rows = adc_query_topk(table, codes_dev, n_valid, top_k,
+                                 TILE)
+    return d, rows, first_frac
+
+
+class FusedDecodedEngine:
+    """Decoded-cache tier with fused subtile-min scan.
+
+    HBM per vector: D*2 (bf16 xhat, tiled column-major) + 4 (precomp)
+    + M (codes, rerank only).
+    """
+
+    def __init__(self, codewords: np.ndarray, codes: np.ndarray):
+        codewords = np.asarray(codewords, np.float32)
+        M, K, Ds = codewords.shape
+        self.codewords = jnp.asarray(codewords)
+        self.M, self.K = M, K
+        self.D = M * Ds
+        self.d_pad = -(-self.D // 128) * 128
+        self.n_valid = codes.shape[0]
+        hi, _lo, _pre = build_decoded_cache(codewords, np.asarray(codes))
+        if self.d_pad != self.D:
+            hi = np.concatenate(
+                [hi, np.zeros((len(hi), self.d_pad - self.D),
+                              hi.dtype)], axis=1)
+        xt = fp.pack_xhat_tiles(np.asarray(hi))
+        self.xt = jnp.asarray(xt)
+        n_pad = xt.shape[0] * TILE
+        codes_p = np.zeros((n_pad, M), np.asarray(codes).dtype)
+        codes_p[:self.n_valid] = codes
+        self.codes = jnp.asarray(codes_p)
+
+    def query(self, queries: np.ndarray, top_k: int = 10,
+              n_sub: Optional[int] = None
+              ) -> Tuple[np.ndarray, np.ndarray]:
+        q, b = _pad_queries(queries, self.d_pad)
+        qj = jnp.asarray(q)
+        table = adc_table(self.codewords, qj[:, :self.D])
+        q2 = jnp.sum(qj * qj, axis=1)
+        mins = fp.fused_decoded_mins(qj.astype(jnp.bfloat16).T, self.xt,
+                                     jnp.int32(self.n_valid))
+        ns = n_sub or _default_n_sub(top_k, mins.shape[0])
+        d, rows, frac = _select_with_escalation(
+            mins.T, q2, table, self.codes, jnp.int32(self.n_valid),
+            top_k, ns)
+        self.last_exact_frac = frac
+        return np.asarray(d[:b]), np.asarray(rows[:b])
+
+
+class FusedCodesEngine:
+    """u8-codes tier: M bytes/vec resident; one-hot decode + matmul in
+    the kernel."""
+
+    def __init__(self, codewords: np.ndarray, codes: np.ndarray,
+                 order: Optional[np.ndarray] = None):
+        codewords = np.asarray(codewords, np.float32)
+        M, K, Ds = codewords.shape
+        self.codewords = jnp.asarray(codewords)
+        self.M, self.K = M, K
+        self.D = M * Ds
+        self.d_pad = -(-self.D // 128) * 128
+        codes = np.asarray(codes)
+        self.n_valid = codes.shape[0]
+        if order is not None:
+            codes = codes[np.asarray(order, np.int64)]
+            self.row_to_db = jnp.asarray(
+                np.asarray(order).astype(np.int32))
+        else:
+            self.row_to_db = None
+        n_pad = -(-self.n_valid // TILE) * TILE
+        codes_p = np.zeros((n_pad, M), np.uint8)
+        codes_p[:self.n_valid] = codes
+        self.codes = jnp.asarray(codes_p)
+        self.cwbd = jnp.asarray(fp.build_blockdiag_codebook(codewords))
+
+    def query(self, queries: np.ndarray, top_k: int = 10,
+              n_sub: Optional[int] = None
+              ) -> Tuple[np.ndarray, np.ndarray]:
+        q, b = _pad_queries(queries, self.d_pad)
+        qj = jnp.asarray(q)
+        table = adc_table(self.codewords, qj[:, :self.D])
+        q2 = jnp.sum(qj * qj, axis=1)
+        mins, codes_echo = fp.fused_codes_mins(
+            qj.astype(jnp.bfloat16).T, self.cwbd, self.codes,
+            jnp.int32(self.n_valid))
+        ns = n_sub or _default_n_sub(top_k, mins.shape[0])
+        d, rows, frac = _select_with_escalation(
+            mins.T, q2, table, codes_echo, jnp.int32(self.n_valid),
+            top_k, ns)
+        self.last_exact_frac = frac
+        if self.row_to_db is not None:
+            rows = jnp.take(self.row_to_db,
+                            jnp.clip(rows, 0, self.n_valid - 1))
+        return np.asarray(d[:b]), np.asarray(rows[:b])
+
+
+class FusedCompressedEngine:
+    """Compressed tier: delta tiles resident (~3 B/vec on clustered
+    data); full decode happens inside the scan kernel.
+
+    Build from a DeltaTree (DFS order = tile order) or from raw codes
+    plus an explicit scan order.
+    """
+
+    def __init__(self, codewords: np.ndarray, codes_scan: np.ndarray,
+                 row_to_db: Optional[np.ndarray] = None,
+                 S: Optional[int] = None):
+        codewords = np.asarray(codewords, np.float32)
+        M, K, Ds = codewords.shape
+        self.codewords = jnp.asarray(codewords)
+        self.M, self.K = M, K
+        self.D = M * Ds
+        self.d_pad = -(-self.D // 128) * 128
+        self.tiles: DeltaTiles = build_delta_tiles(
+            np.asarray(codes_scan), S=S)
+        self.n_valid = self.tiles.n_valid
+        self.row_data = jnp.asarray(self.tiles.row_data)
+        self.ovf = jnp.asarray(self.tiles.ovf)
+        self.cwbd = jnp.asarray(fp.build_blockdiag_codebook(codewords))
+        self.row_to_db = (jnp.asarray(
+            np.asarray(row_to_db).astype(np.int32))
+            if row_to_db is not None else None)
+
+    @classmethod
+    def from_tree(cls, codewords: np.ndarray, tree,
+                  S: Optional[int] = None) -> "FusedCompressedEngine":
+        codes_db = tree.decode_codes()
+        codes_scan = codes_db[tree.vec_id.astype(np.int64)]
+        return cls(codewords, codes_scan,
+                   row_to_db=tree.vec_id.astype(np.int64), S=S)
+
+    def bytes_per_vec(self) -> float:
+        return self.tiles.bytes_per_vec()
+
+    def query(self, queries: np.ndarray, top_k: int = 10,
+              n_sub: Optional[int] = None
+              ) -> Tuple[np.ndarray, np.ndarray]:
+        q, b = _pad_queries(queries, self.d_pad)
+        qj = jnp.asarray(q)
+        table = adc_table(self.codewords, qj[:, :self.D])
+        q2 = jnp.sum(qj * qj, axis=1)
+        mins, codes_echo = fp.fused_delta_mins(
+            qj.astype(jnp.bfloat16).T, self.cwbd, self.row_data,
+            self.ovf, jnp.int32(self.n_valid), self.tiles.S)
+        ns = n_sub or _default_n_sub(top_k, mins.shape[0])
+        d, rows, frac = _select_with_escalation(
+            mins.T, q2, table, codes_echo, jnp.int32(self.n_valid),
+            top_k, ns)
+        self.last_exact_frac = frac
+        if self.row_to_db is not None:
+            rows = jnp.take(self.row_to_db,
+                            jnp.clip(rows, 0, self.n_valid - 1))
+        return np.asarray(d[:b]), np.asarray(rows[:b])

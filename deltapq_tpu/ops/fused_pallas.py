@@ -1,0 +1,377 @@
+"""Fused Pallas scan kernels — matmul ADC + in-kernel shortlist.
+
+The ADC distance decomposes exactly through the decoded vector
+(``ops/decoded.py``):
+
+    dist[n, b] = ||xhat_n||^2 - 2 <xhat_n, q_b> + ||q_b||^2
+
+so the database scan is an MXU matmul contracting over D (= M*Ds), a
+16x smaller contraction than the one-hot [N, M*K] formulation in
+``adc_pallas.py``.  What made the round-1 decoded engine slow was not
+the matmul but the **[B, N] f32 distance materialization** (512 MB at
+N=1M, B=128) feeding ``approx_min_k`` — ~1 GB of avoidable HBM traffic.
+
+These kernels never materialize distances: each grid step computes its
+tile's [TILE, B] distance block in VMEM and reduces every SUB=32
+consecutive rows to their **subtile minimum**, so only [N/32, B] f32
+leaves the kernel (16 MB at 1M/B=128).  The caller selects the top-C
+subtiles per query, gathers their rows as candidates, and reranks them
+with exact f32 ADC table lookups — reported distances are identical to
+the plain f32 scan, with a per-query exactness certificate (see
+``select_rerank``) that drives escalation in the engines.
+
+Three storage tiers share the epilogue:
+
+* ``fused_decoded_mins``   — xhat bf16 resident in HBM (D*2 B/vec);
+  HBM-bound: the fastest tier.
+* ``fused_codes_mins``     — u8 codes resident (M B/vec); the kernel
+  one-hot-decodes codes -> xhat bf16 on the MXU, then matmuls.
+* ``fused_delta_mins``     — delta-compressed tiles (~3 B/vec, see
+  ``delta_tiles.py``); the kernel first reconstructs the tile's codes
+  with a vectorized forward-fill over sequential diffs, then proceeds
+  as the codes tier.  This is the TPU realization of the reference's
+  compressed-stream scan (``deltapq_create_approx_tree.h:2805-2984``):
+  the DFS byte stream + decode stack become a tile-parallel fill.
+
+Mosaic-friendliness rules used throughout: rows live on sublanes
+([TILE, *] orientation everywhere, one layout for all tiers), lane
+dims are static slices only, sublane shifts use ``pltpu.roll``, prefix
+sums over the tiny M axis are a strictly-lower-triangular matmul, and
+the subtile-min is a static loop of contiguous [SUB, B] block reduces
+(lane-splitting reshapes are not lowerable).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 1024   # rows per grid step
+SUB = 32      # rows per subtile-min
+
+
+def _interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _subtile_mins(d: jnp.ndarray, out_ref) -> None:
+    """d [TILE, B] -> out_ref [TILE//SUB, B] per-SUB-row minima.
+    Static slice loop: contiguous sublane blocks + axis-0 reduce."""
+    for g in range(TILE // SUB):
+        out_ref[g:g + 1, :] = jnp.min(d[g * SUB:(g + 1) * SUB, :],
+                                      axis=0, keepdims=True)
+
+
+def _mask_invalid(d: jnp.ndarray, n_valid_ref) -> jnp.ndarray:
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
+    base = pl.program_id(0) * TILE
+    return jnp.where(base + rows < n_valid_ref[0, 0], d, jnp.inf)
+
+
+# --------------------------------------------------------------------------
+# Tier 1: decoded bf16 cache
+# --------------------------------------------------------------------------
+
+def pack_xhat_tiles(xhat: np.ndarray) -> np.ndarray:
+    """[N, D] bf16 -> [nT, TILE, D] bf16 (zero rows pad N to TILE)."""
+    n, d = xhat.shape
+    n_pad = -(-n // TILE) * TILE
+    if n_pad != n:
+        xhat = np.concatenate(
+            [xhat, np.zeros((n_pad - n, d), xhat.dtype)], axis=0)
+    return np.ascontiguousarray(xhat.reshape(n_pad // TILE, TILE, d))
+
+
+def _decoded_mins_kernel(q_ref, n_valid_ref, xt_ref, out_ref):
+    """q [D, B] bf16; xt [1, TILE, D] bf16; out [TILE//SUB, B] f32.
+    precomp = ||xhat||^2 is recomputed in-kernel (bf16-rounded xhat:
+    ~2^-8 relative — covered by the rerank certificate margin)."""
+    xhat = xt_ref[0]
+    cross = jnp.dot(xhat, q_ref[:],
+                    preferred_element_type=jnp.float32)     # [TILE, B]
+    xf = xhat.astype(jnp.float32)
+    pre = jnp.sum(xf * xf, axis=1, keepdims=True)           # [TILE, 1]
+    d = _mask_invalid(pre - 2.0 * cross, n_valid_ref)
+    _subtile_mins(d, out_ref)
+
+
+@jax.jit
+def fused_decoded_mins(q: jnp.ndarray, xt: jnp.ndarray,
+                       n_valid: jnp.ndarray) -> jnp.ndarray:
+    """Subtile minima [N_pad/SUB, B] of the (q2-less) distances
+    ``precomp - 2 cross`` over the whole database.
+
+    q [D, B] bf16 (note: query-major transposed); xt [nT, TILE, D]
+    bf16; padding rows map to +inf.
+    """
+    D, B = q.shape
+    nt = xt.shape[0]
+    ns = TILE // SUB
+    return pl.pallas_call(
+        _decoded_mins_kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((D, B), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TILE, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ns, B), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nt * ns, B), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nt * TILE * D * B,
+            bytes_accessed=nt * TILE * D * 2 + B * D * 2
+            + nt * ns * B * 4,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(q, jnp.asarray(n_valid, jnp.int32).reshape(1, 1), xt)
+
+
+# --------------------------------------------------------------------------
+# Tiers 2 & 3: in-kernel decode (u8 codes / delta tiles)
+# --------------------------------------------------------------------------
+
+def build_blockdiag_codebook(codewords: np.ndarray) -> np.ndarray:
+    """[M, K, Ds] f32 -> block-diagonal [M*K, D_pad] bf16 decode matrix:
+    ``onehot(codes) @ CWbd`` reconstructs the decoded vector.  D is
+    padded to a lane multiple of 128."""
+    M, K, Ds = codewords.shape
+    D = M * Ds
+    d_pad = -(-D // 128) * 128
+    out = np.zeros((M * K, d_pad), np.float32)
+    for m in range(M):
+        out[m * K:(m + 1) * K, m * Ds:(m + 1) * Ds] = codewords[m]
+    return out.astype(jnp.bfloat16)
+
+
+def _shift_down(x: jnp.ndarray, s: int, fill) -> jnp.ndarray:
+    """Rows i <- i-s along axis 0 (sublanes); first s rows = fill."""
+    rolled = pltpu.roll(x, s, axis=0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(rows >= s, rolled, fill)
+
+
+def _scan_tail(H, q_ref, cwbd_ref, n_valid_ref, out_ref, codes_out_ref,
+               oh_ref):
+    """Shared tail: codes H [TILE, M] i32 -> one-hot decode -> matmul ->
+    subtile mins.  q [D, B] bf16; cwbd [M*K, D] bf16; oh scratch
+    [TILE, M*K] bf16."""
+    M = H.shape[1]
+    MK = cwbd_ref.shape[0]
+    K = MK // M
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (TILE, K), 1)
+    for m in range(M):
+        oh_ref[:, m * K:(m + 1) * K] = (
+            H[:, m:m + 1] == iota_k).astype(jnp.bfloat16)
+    xhat = jnp.dot(oh_ref[:], cwbd_ref[:],
+                   preferred_element_type=jnp.float32)     # [TILE, D]
+    pre = jnp.sum(xhat * xhat, axis=1, keepdims=True)      # [TILE, 1]
+    cross = jnp.dot(xhat.astype(jnp.bfloat16), q_ref[:],
+                    preferred_element_type=jnp.float32)    # [TILE, B]
+    d = _mask_invalid(pre - 2.0 * cross, n_valid_ref)
+    _subtile_mins(d, out_ref)
+    codes_out_ref[:] = H.astype(jnp.uint8)
+
+
+def _codes_mins_kernel(q_ref, cwbd_ref, n_valid_ref, codes_ref,
+                       out_ref, codes_out_ref, oh_ref):
+    _scan_tail(codes_ref[:].astype(jnp.int32), q_ref, cwbd_ref,
+               n_valid_ref, out_ref, codes_out_ref, oh_ref)
+
+
+def _delta_mins_kernel(q_ref, cwbd_ref, n_valid_ref, rd_ref, ovf_ref,
+                       out_ref, codes_out_ref, oh_ref, *, S: int):
+    """Delta-tile decode + scan.  rd [1, TILE, 1+S] u8;
+    ovf [1, Cap, M] u8.  See ``delta_tiles.py`` for the format."""
+    M = ovf_ref.shape[2]
+    Cap = ovf_ref.shape[1]
+    rd = rd_ref[0].astype(jnp.int32)                       # [TILE, 1+S]
+    mask = rd[:, 0:1]                                      # [TILE, 1]
+    iota_m = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)
+    bitm = ((mask >> iota_m) & 1)                          # [TILE, M]
+    # exclusive prefix over the M lanes: strictly-lower-tri matmul
+    # (values <= 8, exact in bf16)
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
+           < jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
+           ).astype(jnp.bfloat16)
+    rank = jnp.dot(bitm.astype(jnp.bfloat16), tri,
+                   preferred_element_type=jnp.float32).astype(jnp.int32)
+    nd = jnp.sum(bitm, axis=1, keepdims=True)              # [TILE, 1]
+    is_ovf = nd > S
+
+    # overflow rank: exclusive prefix sum down the rows
+    cum = is_ovf.astype(jnp.int32)
+    s = 1
+    while s < TILE:
+        cum = cum + _shift_down(cum, s, 0)
+        s *= 2
+    ovf_rank = cum - is_ovf.astype(jnp.int32)              # [TILE, 1]
+
+    # scatter fixed slots into the hole matrix
+    H = jnp.full((TILE, M), -1, jnp.int32)
+    fixed = (bitm == 1) & jnp.logical_not(is_ovf)
+    for j in range(S):
+        vj = rd[:, 1 + j:2 + j]                            # [TILE, 1]
+        H = jnp.where(fixed & (rank == j), vj, H)
+
+    # scatter overflow full codes via one-hot matmul (code values
+    # <= 255 are exact in bf16)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (TILE, Cap), 1)
+    ohov = ((ovf_rank == iota_c) & is_ovf).astype(jnp.bfloat16)
+    ovf_bf = ovf_ref[0].astype(jnp.int32).astype(jnp.bfloat16)
+    hov = jnp.dot(ohov, ovf_bf,
+                  preferred_element_type=jnp.float32)      # [TILE, M]
+    H = jnp.where(is_ovf, hov.astype(jnp.int32), H)
+
+    # forward-fill down the rows (log2(TILE) steps)
+    s = 1
+    while s < TILE:
+        H = jnp.where(H >= 0, H, _shift_down(H, s, -1))
+        s *= 2
+
+    _scan_tail(H, q_ref, cwbd_ref, n_valid_ref, out_ref, codes_out_ref,
+               oh_ref)
+
+
+def _mins_call(kernel, data_specs, data_args, q, cwbd, n_valid, nt, M,
+               extra_flops=0):
+    D, B = q.shape
+    MK = cwbd.shape[0]
+    ns = TILE // SUB
+    return pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((D, B), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((MK, D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            *data_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((ns, B), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, M), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nt * ns, B), jnp.float32),
+            jax.ShapeDtypeStruct((nt * TILE, M), jnp.uint8),
+        ],
+        scratch_shapes=[pltpu.VMEM((TILE, MK), jnp.bfloat16)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nt * TILE * (MK + B) * D + extra_flops,
+            bytes_accessed=nt * TILE * M + MK * D * 2 + D * B * 2
+            + nt * ns * B * 4 + nt * TILE * M,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(q, cwbd, jnp.asarray(n_valid, jnp.int32).reshape(1, 1),
+      *data_args)
+
+
+@jax.jit
+def fused_codes_mins(q: jnp.ndarray, cwbd: jnp.ndarray,
+                     codes: jnp.ndarray, n_valid: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Codes tier: q [D, B] bf16; cwbd [M*K, D] bf16; codes [N_pad, M]
+    u8.  Returns (mins [NS, B] f32, codes_echo [N_pad, M] u8)."""
+    n_pad, M = codes.shape
+    nt = n_pad // TILE
+    return _mins_call(
+        _codes_mins_kernel,
+        [pl.BlockSpec((TILE, M), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM)],
+        [codes], q, cwbd, n_valid, nt, M)
+
+
+@functools.partial(jax.jit, static_argnames=("S",))
+def fused_delta_mins(q: jnp.ndarray, cwbd: jnp.ndarray,
+                     row_data: jnp.ndarray, ovf: jnp.ndarray,
+                     n_valid: jnp.ndarray, S: int
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Delta tier: row_data [nT, TILE, 1+S] u8; ovf [nT, Cap, M] u8.
+    Returns (mins [NS, B] f32, decoded codes [N_pad, M] u8)."""
+    nt = row_data.shape[0]
+    Cap, M = ovf.shape[1], ovf.shape[2]
+    return _mins_call(
+        functools.partial(_delta_mins_kernel, S=S),
+        [pl.BlockSpec((1, TILE, 1 + S), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM),
+         pl.BlockSpec((1, Cap, M), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM)],
+        [row_data, ovf], q, cwbd, n_valid, nt, M,
+        extra_flops=2 * nt * TILE * Cap * M)
+
+
+# --------------------------------------------------------------------------
+# Shared epilogue: subtile select + exact rerank
+# --------------------------------------------------------------------------
+
+def _fence_margin(fence: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
+    """bf16-matmul-domain error allowance for the exactness
+    certificate.  The subtile mins come from bf16 operands (~2^-8
+    relative on ``precomp`` and ``cross``, which are O(distance + q2)
+    before cancellation), so the allowance scales with the full
+    pre-cancellation magnitude, not the small final distance."""
+    return 0.02 * (jnp.abs(fence) + q2 + 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("top_k", "n_sub"))
+def select_rerank(mins: jnp.ndarray, q2: jnp.ndarray, table: jnp.ndarray,
+                  codes: jnp.ndarray, n_valid: jnp.ndarray, top_k: int,
+                  n_sub: int
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Candidate selection + exact rerank.
+
+    mins [B, NS] subtile minima in the q2-less matmul domain
+    (``precomp - 2 cross``, +inf on padding); q2 [B] = ||q||^2; table
+    [B, M, K] exact f32 ADC tables; codes [N_pad, M] u8 in scan order.
+    Returns (dists [B, top_k] exact f32 ascending, rows [B, top_k]
+    scan-order row ids, ok [B] exactness certificate).
+
+    Candidates = the union of the ``n_sub`` smallest subtiles' rows.
+    Certificate: every row of an unselected subtile has approximate
+    distance >= the (n_sub+1)-th subtile min (the fence); the result is
+    certified exact only when the reranked k-th distance clears the
+    fence with the bf16 error margin *subtracted* (conservative: a
+    false "not exact" triggers the caller's escalation, a false "exact"
+    would be an error).  Engines escalate n_sub on failure and fall
+    back to a full exact scan, so reported results are always exact
+    (modulo equal-distance ties, as in the reference).
+    """
+    B, NS = mins.shape
+    M, K = table.shape[1], table.shape[2]
+    S = n_sub * SUB
+    neg, sub_ids = jax.lax.top_k(-mins, n_sub + 1)
+    fence = -neg[:, n_sub]
+    sub_ids = sub_ids[:, :n_sub]
+    rows = (sub_ids[:, :, None] * SUB
+            + jnp.arange(SUB, dtype=jnp.int32)[None, None, :]
+            ).reshape(B, S)
+    safe = jnp.clip(rows, 0, codes.shape[0] - 1)
+    cw = codes[safe].astype(jnp.int32)
+    tf = table.reshape(B, M * K)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2)
+    exact = jnp.zeros((B, S), jnp.float32)
+    for m in range(M):
+        onehot = (cw[:, :, m:m + 1] == iota_k).astype(jnp.float32)
+        exact = exact + jnp.einsum(
+            "bsk,bk->bs", onehot, tf[:, m * K:(m + 1) * K],
+            preferred_element_type=jnp.float32)
+    exact = jnp.where(rows < n_valid, exact, jnp.inf)
+    negd, pos = jax.lax.top_k(-exact, top_k)
+    d = -negd
+    out_rows = jnp.take_along_axis(rows, pos, axis=1)
+    ok = (d[:, top_k - 1] - q2) <= fence - _fence_margin(fence, q2)
+    return d, out_rows, ok

@@ -51,7 +51,15 @@ def build_tree_with_id(codes: np.ndarray, K: int, codewords: np.ndarray,
     edge-weight ordering (max_dist2p) and query distances see only the
     real M subspaces.
     """
-    ext = append_id_bytes(np.asarray(codes), ids)
+    codes = np.asarray(codes)
+    if K > 256 or codes.dtype != np.uint8:
+        # uint16 codes cannot be packed into the 8-bit id-extended key
+        # slots (adjacent subspaces would overlap, producing corrupt
+        # hash cliques); the reference likewise only supports with_id
+        # for 1-byte codes (deltapq_approx_tree_main.cpp:186-264)
+        raise NotImplementedError("approx_with_id requires K <= 256 "
+                                  "(uint8 codes)")
+    ext = append_id_bytes(codes, ids)
     M = codes.shape[1]
     # pack keys with 8 bits/column regardless of K: id bytes span 0..255
     res = find_edges_by_diff(ext, K=256, **tree_kwargs)

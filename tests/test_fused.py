@@ -1,0 +1,116 @@
+"""Fused-scan engines: parity vs the exact XLA plain scan.
+
+All three tiers must report exact f32 ADC distances and the same ids
+(modulo equal-distance ties) as ``query_plain(engine="xla")``.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from deltapq_tpu.ops.adc import query_plain
+from deltapq_tpu.ops.delta_tiles import (build_delta_tiles,
+                                         decode_delta_tiles)
+from deltapq_tpu.ops.encode import pq_encode
+from deltapq_tpu.ops.fused import (FusedCodesEngine,
+                                   FusedCompressedEngine,
+                                   FusedDecodedEngine)
+from deltapq_tpu.ops.kmeans import pq_learn
+
+
+@pytest.fixture(scope="module")
+def pq_setup(small_dataset):
+    M, K = 4, 32
+    cw = pq_learn(jax.random.key(0), small_dataset, M, K, max_iters=25)
+    codes = pq_encode(cw, small_dataset)
+    queries = small_dataset[:64] + 0.05
+    d_ref, i_ref = query_plain(cw, queries, codes, top_k=10,
+                               engine="xla")
+    return cw, codes, queries, d_ref, i_ref
+
+
+def _check(d, i, d_ref, i_ref):
+    np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)
+    # id agreement modulo ties: compare distance multisets instead of
+    # raw ids (equal distances may order differently)
+    assert (np.mean(i == i_ref) > 0.9) or np.allclose(d, d_ref)
+
+
+def test_fused_decoded_parity(pq_setup):
+    cw, codes, queries, d_ref, i_ref = pq_setup
+    eng = FusedDecodedEngine(cw, codes)
+    d, i = eng.query(queries, top_k=10)
+    _check(d, i, d_ref, i_ref)
+    # escalation must leave a recorded first-shot certificate fraction
+    assert 0.0 <= eng.last_exact_frac <= 1.0
+
+
+def test_fused_codes_parity(pq_setup):
+    cw, codes, queries, d_ref, i_ref = pq_setup
+    eng = FusedCodesEngine(cw, codes)
+    d, i = eng.query(queries, top_k=10)
+    _check(d, i, d_ref, i_ref)
+
+
+def test_fused_codes_with_order(pq_setup):
+    cw, codes, queries, d_ref, i_ref = pq_setup
+    rng = np.random.default_rng(1)
+    order = rng.permutation(len(codes))
+    eng = FusedCodesEngine(cw, codes, order=order)
+    d, i = eng.query(queries, top_k=10)
+    _check(d, i, d_ref, i_ref)
+
+
+def test_fused_compressed_parity(pq_setup):
+    cw, codes, queries, d_ref, i_ref = pq_setup
+    # scan order: sort codes lexicographically (clusters similar rows,
+    # like DFS order does)
+    order = np.lexsort(np.asarray(codes).T[::-1])
+    eng = FusedCompressedEngine(cw, np.asarray(codes)[order],
+                                row_to_db=order)
+    d, i = eng.query(queries, top_k=10)
+    _check(d, i, d_ref, i_ref)
+
+
+def test_fused_compressed_from_tree(pq_setup, small_dataset):
+    cw, codes, queries, d_ref, i_ref = pq_setup
+    from deltapq_tpu.tree.build import find_edges_by_diff
+    from deltapq_tpu.tree.layout import build_layout
+
+    res = find_edges_by_diff(np.asarray(codes), K=32)
+    tree = build_layout(np.asarray(codes), res.edges, res.root_id,
+                        K=32, codewords=cw)
+    eng = FusedCompressedEngine.from_tree(cw, tree)
+    assert eng.bytes_per_vec() < eng.M  # compresses vs plain codes
+    d, i = eng.query(queries, top_k=10)
+    _check(d, i, d_ref, i_ref)
+
+
+def test_delta_tiles_roundtrip_random():
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 256, size=(2500, 8), dtype=np.uint8)
+    dt = build_delta_tiles(codes)
+    assert np.array_equal(decode_delta_tiles(dt), codes)
+
+
+def test_delta_tiles_roundtrip_chain():
+    rng = np.random.default_rng(4)
+    n, M = 4000, 8
+    codes = np.empty((n, M), np.uint8)
+    codes[0] = rng.integers(0, 256, size=M)
+    for i in range(1, n):
+        codes[i] = codes[i - 1]
+        codes[i, rng.integers(0, M)] = rng.integers(0, 256)
+    dt = build_delta_tiles(codes)
+    assert np.array_equal(decode_delta_tiles(dt), codes)
+    assert dt.bytes_per_vec() < 4.0
+
+
+def test_fused_topk_larger_than_one_subtile(pq_setup):
+    cw, codes, queries, _, _ = pq_setup
+    d_ref, i_ref = query_plain(cw, queries, codes, top_k=100,
+                               engine="xla")
+    eng = FusedDecodedEngine(cw, codes)
+    d, i = eng.query(queries, top_k=100)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)

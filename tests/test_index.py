@@ -71,3 +71,30 @@ def test_save_load_roundtrip(tmp_path, built, small_dataset):
     d2, i2 = idx2.search(q, top_k=5)
     np.testing.assert_allclose(d1, d2, rtol=1e-6)
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_search_topk_exceeds_n(built):
+    """top_k > n must pad with (+inf, -1) instead of failing
+    (VERDICT round-1 weak #6)."""
+    idx = DeltaPQIndex(built.codewords, built.codes[:7].copy(),
+                       build_tree=False)
+    d, i = idx.search(np.random.default_rng(0).normal(
+        size=(3, built.codewords.shape[0] * built.codewords.shape[2])
+    ).astype(np.float32), top_k=12)
+    assert d.shape == (3, 12) and i.shape == (3, 12)
+    assert np.isinf(d[:, 7:]).all() and (i[:, 7:] == -1).all()
+    assert (i[:, :7] >= 0).all()
+
+
+def test_search_mass_delete(built, small_dataset):
+    """Deleting nearly everything must yield -1/inf padding, never a
+    deleted id."""
+    idx = DeltaPQIndex(built.codewords, built.codes.copy(),
+                       build_tree=False)
+    keep = [5, 123]
+    dele = [j for j in range(idx.n) if j not in keep]
+    idx.remove(dele)
+    d, i = idx.search(small_dataset[:4], top_k=10)
+    live = np.isfinite(d)
+    assert set(i[live].ravel()) <= set(keep)
+    assert (i[~live] == -1).all()
