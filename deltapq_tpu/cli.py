@@ -435,8 +435,7 @@ def task_recall(args, metrics: Metrics):
 
 
 def task_map(args, metrics: Metrics):
-    from .eval import (mean_average_precision, epsilon_recall,
-                       true_distances)
+    from .eval import mean_average_precision, epsilon_recall
 
     d, i = task_query(args, metrics)
     n = args.N if args.N > 0 else _load_codes(args).shape[0]
@@ -447,10 +446,15 @@ def task_map(args, metrics: Metrics):
     print(f"MAP = {out['mAP']}")
     print(f"Avg ratio: {out.get('avg_ratio')}")
     print(f"Max ratio: {out.get('max_ratio')}")
-    base = read_vecs(os.path.join(args.dataset, f"base.{args.ext}"),
-                     ext=args.ext, top_n=n)
+    # read only the retrieved rows by seek offset (reference pattern,
+    # main.cpp:901-931) instead of materializing the whole base file
+    from .io.vecs import read_vecs_at
+
     q = _load_queries(args)
-    td = true_distances(base, q[:len(i)], i)
+    rows = read_vecs_at(os.path.join(args.dataset, f"base.{args.ext}"),
+                        i, ext=args.ext)
+    diff = rows - q[:len(i), None, :]
+    td = np.sum(diff * diff, axis=2).astype(np.float32)
     er = epsilon_recall(td, gt_d[:len(i)])
     print(f"eps recall = {er['eps_recall']}")
     print(f"recall = {er['recall_true']}")

@@ -20,9 +20,14 @@ def recall_at_k(retrieved_ids: np.ndarray, gt_ids: np.ndarray,
     ``main.cpp:782-796``)."""
     if k is None:
         k = retrieved_ids.shape[1]
-    r = retrieved_ids[:, :k]
-    g = gt_ids[:, :k]
-    hits = sum(len(np.intersect1d(r[q], g[q])) for q in range(len(r)))
+    r = retrieved_ids[:, :k].astype(np.int64)
+    g = gt_ids[:, :k].astype(np.int64)
+    # vectorized per-row set intersection: disambiguate rows by offset
+    # keys (ids are bounded), then one flat isin pass
+    off = (np.arange(len(r), dtype=np.int64)
+           * (max(int(r.max(initial=0)), int(g.max(initial=0))) + 2)
+           )[:, None]
+    hits = int(np.isin((r + off).ravel(), (g + off).ravel()).sum())
     return hits / (len(r) * k)
 
 
@@ -44,26 +49,28 @@ def mean_average_precision(retrieved_ids: np.ndarray, gt_ids: np.ndarray,
     position-wise (reference ``main.cpp:869-874``).
     """
     nq, topk = retrieved_ids.shape
-    total = 0.0
-    avg_ratio = 0.0
-    max_ratio = 0.0
     have_ratio = retrieved_dists is not None and gt_dists is not None
-    for q in range(nq):
-        apk = 0.0
-        for k in range(1, topk + 1):
-            score = len(np.intersect1d(retrieved_ids[q, :k], gt_ids[q, :k]))
-            apk += score / k
-            if have_ratio:
-                rk = np.sqrt(max(retrieved_dists[q, k - 1], 0.0))
-                gk = np.sqrt(max(gt_dists[q, k - 1], 0.0))
-                ratio = gk / rk if rk > 0 else 0.0
-                avg_ratio += ratio
-                max_ratio = max(max_ratio, ratio)
-        total += apk / topk
+    # prefix-intersection sizes for every k at once:
+    # score_k[q] = # (i < k, j < k) with r[q,i] == g[q,j], read off the
+    # diagonal of the 2-D cumulative sum of the match matrix.  Chunked
+    # over queries to bound the [chunk, topk, topk] working set.
+    total = 0.0
+    chunk = max(1, 16_000_000 // max(topk * topk, 1))
+    inv_k = 1.0 / np.arange(1, topk + 1)
+    for s0 in range(0, nq, chunk):
+        r = retrieved_ids[s0:s0 + chunk]
+        g = gt_ids[s0:s0 + chunk]
+        match = (r[:, :, None] == g[:, None, :])
+        scores = match.cumsum(axis=1).cumsum(axis=2)
+        diag = scores[:, np.arange(topk), np.arange(topk)]  # [c, topk]
+        total += float((diag * inv_k[None, :]).sum()) / topk
     out = {"mAP": total / nq}
     if have_ratio:
-        out["avg_ratio"] = avg_ratio / (topk * nq)
-        out["max_ratio"] = max_ratio
+        rk = np.sqrt(np.maximum(retrieved_dists, 0.0))
+        gk = np.sqrt(np.maximum(gt_dists, 0.0))
+        ratio = np.where(rk > 0, gk / np.where(rk > 0, rk, 1.0), 0.0)
+        out["avg_ratio"] = float(ratio.mean())
+        out["max_ratio"] = float(ratio.max(initial=0.0))
     return out
 
 
@@ -94,9 +101,12 @@ def true_distances(base: np.ndarray, queries: np.ndarray,
     (reference re-reads base vectors by offset, ``main.cpp:901-931``)."""
     nq, topk = ids.shape
     out = np.empty((nq, topk), np.float32)
-    for q in range(nq):
-        diff = base[ids[q]] - queries[q][None, :]
-        out[q] = np.sum(diff * diff, axis=1)
+    # chunk so the [chunk, topk, D] gather stays bounded
+    chunk = max(1, 64_000_000 // max(topk * base.shape[1] * 4, 1))
+    for s0 in range(0, nq, chunk):
+        sel = ids[s0:s0 + chunk]
+        diff = base[sel] - queries[s0:s0 + chunk, None, :]
+        out[s0:s0 + chunk] = np.sum(diff * diff, axis=2)
     return out
 
 

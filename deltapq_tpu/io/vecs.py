@@ -81,6 +81,27 @@ def read_vecs(path: str, ext: Optional[str] = None, top_n: int = -1,
     return body
 
 
+def read_vecs_at(path: str, ids: np.ndarray, ext: Optional[str] = None,
+                 as_float: bool = True) -> np.ndarray:
+    """Read specific records by index via seek — the reference's
+    by-offset re-read pattern (``main.cpp:901-931``) — without loading
+    the whole file.  Duplicate ids are read once and fanned back out."""
+    ext = _ext_of(path, ext)
+    dim = read_dim(path, ext)
+    rec = record_size(dim, ext)
+    dtype, isize = _ITEM[ext]
+    ids = np.asarray(ids, np.int64)
+    uniq, inv = np.unique(ids, return_inverse=True)
+    out = np.empty((len(uniq), dim),
+                   np.float32 if as_float else dtype)
+    with open(path, "rb") as f:
+        for j, rid in enumerate(uniq):
+            f.seek(int(rid) * rec + 4)
+            row = np.frombuffer(f.read(rec - 4), dtype=dtype)
+            out[j] = row.astype(np.float32) if as_float else row
+    return out[inv].reshape(ids.shape + (dim,))
+
+
 def iter_vec_batches(path: str, ext: Optional[str] = None,
                      batch_size: int = 100_000, top_n: int = -1,
                      as_float: bool = True) -> Iterator[np.ndarray]:
