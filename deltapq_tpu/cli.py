@@ -294,11 +294,30 @@ def task_approx_tree(args, metrics: Metrics):
         print(f"REMINDER: DPNode file exists. No need to rebuild! "
               f"(use -force 1)\n    {done}")
         return
-    with metrics.stage("find_edges"):
-        res = find_edges_by_diff(codes, K=args.k,
-                                 diff_argument=tcfg.resolved_diff(args.m),
-                                 max_height_folds=args.height,
-                                 method=args.method)
+    # stage cache for the edges (reference find_edges_by_diff_approx
+    # checks/writes its edges file, deltapq_create_approx_tree.h:
+    # 1215-1242, 1320-1329): an interrupted build resumes after the
+    # most expensive stage
+    edges_path = os.path.join(args.dataset,
+                              edges_filename(cfg, tcfg, n)) + ".npz"
+    if os.path.exists(edges_path) and not args.force:
+        print(f"REMINDER: edges file exists, loading: {edges_path}")
+        z = np.load(edges_path)
+        from .tree.build import EdgeFindResult
+
+        res = EdgeFindResult(edges=z["edges"],
+                             root_id=int(z["root_id"]),
+                             heights=np.zeros(0, np.int32),
+                             n_diffs=int(z["n_diffs"]),
+                             finalists=np.zeros(0, np.int64))
+    else:
+        with metrics.stage("find_edges"):
+            res = find_edges_by_diff(
+                codes, K=args.k,
+                diff_argument=tcfg.resolved_diff(args.m),
+                max_height_folds=args.height, method=args.method)
+        np.savez(edges_path, edges=res.edges, root_id=res.root_id,
+                 n_diffs=res.n_diffs)
     print(f"found {len(res.edges)} edges, {res.n_diffs} diffs")
     with metrics.stage("layout"):
         tree = build_layout(codes, res.edges, res.root_id, K=args.k,

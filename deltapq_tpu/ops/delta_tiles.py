@@ -42,8 +42,10 @@ TILE = 1024
 class DeltaTiles:
     """Device-ready delta-compressed code tiles (scan order = DFS)."""
 
-    row_data: np.ndarray   # u8 [nT, TILE, 1+S]: mask byte + S value slots
-    ovf: np.ndarray        # u8 [nT, Cap, M]: full codes of overflow rows
+    row_data: np.ndarray   # u8 [nT, 1+S, TILE]: mask byte + S value slots
+    ovf: np.ndarray        # u8 [nT, M, Cap]: full codes of overflow rows
+                           # (both transposed rows-on-lanes for the
+                           # kernel's vectorized decode)
     n_valid: int           # true database size (padding rows after)
     M: int
     S: int
@@ -122,8 +124,9 @@ def build_delta_tiles(codes: np.ndarray, S: Optional[int] = None,
         rows, cols = np.nonzero(fixed & (rank == j))
         slots[rows, j] = c[rows, cols]
 
-    row_data = np.concatenate([mask[:, None].astype(np.uint8), slots],
-                              axis=1).reshape(nt, TILE, 1 + S)
+    row_data = np.ascontiguousarray(
+        np.concatenate([mask[:, None].astype(np.uint8), slots], axis=1)
+        .reshape(nt, TILE, 1 + S).transpose(0, 2, 1))
 
     ovf_flags = is_ovf.reshape(nt, TILE)
     ovf_rank = np.cumsum(ovf_flags, axis=1) - ovf_flags
@@ -131,6 +134,7 @@ def build_delta_tiles(codes: np.ndarray, S: Optional[int] = None,
     t_idx, r_idx = np.nonzero(ovf_flags)
     ovf[t_idx, ovf_rank[t_idx, r_idx]] = c.reshape(nt, TILE, M)[
         t_idx, r_idx]
+    ovf = np.ascontiguousarray(ovf.transpose(0, 2, 1))
 
     return DeltaTiles(row_data=row_data, ovf=ovf, n_valid=n, M=M, S=S,
                       Cap=Cap)
@@ -140,9 +144,9 @@ def decode_delta_tiles(dt: DeltaTiles) -> np.ndarray:
     """NumPy reference decoder (the kernel's oracle): reconstructs the
     scan-ordered [n_valid, M] codes via the same scatter + forward-fill
     the Pallas kernel runs."""
-    nt, T, _ = dt.row_data.shape
+    nt, _, T = dt.row_data.shape
     M, S = dt.M, dt.S
-    mask = dt.row_data[:, :, 0].astype(np.uint32)           # [nT, T]
+    mask = dt.row_data[:, 0, :].astype(np.uint32)           # [nT, T]
     out = np.empty((nt, T, M), np.int32)
 
     bit = ((mask[:, :, None] >> np.arange(M)[None, None, :]) & 1
@@ -155,10 +159,10 @@ def decode_delta_tiles(dt: DeltaTiles) -> np.ndarray:
     H = np.full((nt, T, M), -1, np.int32)
     for j in range(S):
         sel = (bit == 1) & (rank == j) & ~is_ovf[:, :, None]
-        vals = dt.row_data[:, :, 1 + j].astype(np.int32)
+        vals = dt.row_data[:, 1 + j, :].astype(np.int32)
         H = np.where(sel, vals[:, :, None], H)
     t_i, r_i = np.nonzero(is_ovf)
-    H[t_i, r_i] = dt.ovf[t_i, ovf_rank[t_i, r_i]]
+    H[t_i, r_i] = dt.ovf.transpose(0, 2, 1)[t_i, ovf_rank[t_i, r_i]]
 
     # forward-fill down the rows (holes = -1)
     s = 1

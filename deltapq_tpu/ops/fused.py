@@ -47,29 +47,39 @@ def _pad_queries(queries: np.ndarray, d_pad: int, b_mult: int = 128
     return out, b
 
 
-def _default_n_sub(top_k: int, ns_total: int) -> int:
-    """Subtile candidate count: 16x over-provision of top_k rows,
-    bounded to the database."""
-    want = -(-16 * top_k // fp.SUB)
-    return int(max(8, min(want, max(ns_total - 1, 1))))
+def _pool_for(ns_total: int) -> int:
+    """Min-pool factor for the selection epilogue: the [B, NS] exact
+    top_k dominates the epilogue at large N, so coarsen the candidate
+    unit once NS is big (8 subtile mins -> one 256-row unit)."""
+    return 8 if ns_total > 8192 else 1
+
+
+def _default_n_sub(top_k: int, n_units: int, unit: int) -> int:
+    """Candidate unit count: 16x over-provision of top_k rows, at
+    least 2 units, bounded to the database."""
+    want = -(-16 * top_k // unit)
+    return int(max(2, min(max(want, 256 // unit), max(n_units - 1, 1))))
 
 
 def _select_with_escalation(mins_bn, q2, table, codes_dev, n_valid,
-                            top_k, n_sub):
+                            top_k, n_sub=None):
     """Run select_rerank, escalating the candidate pool 4x whenever a
     query's exactness certificate fails (equal-distance pileups at the
     fence), with a terminal full exact scan.  Returns (d, rows,
     exact_frac_before_escalation)."""
     ns_total = mins_bn.shape[1]
-    ns = min(n_sub, max(ns_total - 1, 1))
+    pool = _pool_for(ns_total)
+    n_units = -(-ns_total // pool)
+    ns = n_sub or _default_n_sub(top_k, n_units, fp.SUB * pool)
+    ns = min(ns, max(n_units - 1, 1))
     d, rows, ok = fp.select_rerank(mins_bn, q2, table, codes_dev,
-                                   n_valid, top_k, ns)
+                                   n_valid, top_k, ns, pool)
     first_frac = float(jnp.mean(ok))
     okh = bool(jnp.all(ok))
-    while not okh and ns < ns_total - 1:
-        ns = min(ns * 4, ns_total - 1)
+    while not okh and ns < n_units - 1:
+        ns = min(ns * 4, n_units - 1)
         d, rows, ok = fp.select_rerank(mins_bn, q2, table, codes_dev,
-                                       n_valid, top_k, ns)
+                                       n_valid, top_k, ns, pool)
         okh = bool(jnp.all(ok))
     if not okh:
         from .adc import adc_query_topk
@@ -115,10 +125,9 @@ class FusedDecodedEngine:
         q2 = jnp.sum(qj * qj, axis=1)
         mins = fp.fused_decoded_mins(qj.astype(jnp.bfloat16).T, self.xt,
                                      jnp.int32(self.n_valid))
-        ns = n_sub or _default_n_sub(top_k, mins.shape[0])
         d, rows, frac = _select_with_escalation(
             mins.T, q2, table, self.codes, jnp.int32(self.n_valid),
-            top_k, ns)
+            top_k, n_sub)
         self.last_exact_frac = frac
         return np.asarray(d[:b]), np.asarray(rows[:b])
 
@@ -159,10 +168,9 @@ class FusedCodesEngine:
         mins, codes_echo = fp.fused_codes_mins(
             qj.astype(jnp.bfloat16).T, self.cwbd, self.codes,
             jnp.int32(self.n_valid))
-        ns = n_sub or _default_n_sub(top_k, mins.shape[0])
         d, rows, frac = _select_with_escalation(
             mins.T, q2, table, codes_echo, jnp.int32(self.n_valid),
-            top_k, ns)
+            top_k, n_sub)
         self.last_exact_frac = frac
         if self.row_to_db is not None:
             rows = jnp.take(self.row_to_db,
@@ -218,10 +226,9 @@ class FusedCompressedEngine:
         mins, codes_echo = fp.fused_delta_mins(
             qj.astype(jnp.bfloat16).T, self.cwbd, self.row_data,
             self.ovf, jnp.int32(self.n_valid), self.tiles.S)
-        ns = n_sub or _default_n_sub(top_k, mins.shape[0])
         d, rows, frac = _select_with_escalation(
             mins.T, q2, table, codes_echo, jnp.int32(self.n_valid),
-            top_k, ns)
+            top_k, n_sub)
         self.last_exact_frac = frac
         if self.row_to_db is not None:
             rows = jnp.take(self.row_to_db,

@@ -62,10 +62,10 @@ def _interpret() -> bool:
 
 def _subtile_mins(d: jnp.ndarray, out_ref) -> None:
     """d [TILE, B] -> out_ref [TILE//SUB, B] per-SUB-row minima.
-    Static slice loop: contiguous sublane blocks + axis-0 reduce."""
-    for g in range(TILE // SUB):
-        out_ref[g:g + 1, :] = jnp.min(d[g * SUB:(g + 1) * SUB, :],
-                                      axis=0, keepdims=True)
+    Sublane-split reshape + reduce (lane splits are not lowerable, but
+    sublane splits are)."""
+    B = d.shape[1]
+    out_ref[:] = jnp.min(d.reshape(TILE // SUB, SUB, B), axis=1)
 
 
 def _mask_invalid(d: jnp.ndarray, n_valid_ref) -> jnp.ndarray:
@@ -153,13 +153,6 @@ def build_blockdiag_codebook(codewords: np.ndarray) -> np.ndarray:
     return out.astype(jnp.bfloat16)
 
 
-def _shift_down(x: jnp.ndarray, s: int, fill) -> jnp.ndarray:
-    """Rows i <- i-s along axis 0 (sublanes); first s rows = fill."""
-    rolled = pltpu.roll(x, s, axis=0)
-    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    return jnp.where(rows >= s, rolled, fill)
-
-
 def _scan_tail(H, q_ref, cwbd_ref, n_valid_ref, out_ref, codes_out_ref,
                oh_ref):
     """Shared tail: codes H [TILE, M] i32 -> one-hot decode -> matmul ->
@@ -188,58 +181,71 @@ def _codes_mins_kernel(q_ref, cwbd_ref, n_valid_ref, codes_ref,
                n_valid_ref, out_ref, codes_out_ref, oh_ref)
 
 
+def _shift_right(x: jnp.ndarray, s: int, fill) -> jnp.ndarray:
+    """Lanes j <- j-s along axis 1; first s lanes = fill."""
+    rolled = pltpu.roll(x, s, axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(cols >= s, rolled, fill)
+
+
 def _delta_mins_kernel(q_ref, cwbd_ref, n_valid_ref, rd_ref, ovf_ref,
                        out_ref, codes_out_ref, oh_ref, *, S: int):
-    """Delta-tile decode + scan.  rd [1, TILE, 1+S] u8;
-    ovf [1, Cap, M] u8.  See ``delta_tiles.py`` for the format."""
-    M = ovf_ref.shape[2]
-    Cap = ovf_ref.shape[1]
-    rd = rd_ref[0].astype(jnp.int32)                       # [TILE, 1+S]
-    mask = rd[:, 0:1]                                      # [TILE, 1]
-    iota_m = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)
-    bitm = ((mask >> iota_m) & 1)                          # [TILE, M]
-    # exclusive prefix over the M lanes: strictly-lower-tri matmul
-    # (values <= 8, exact in bf16)
-    tri = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
-           < jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
+    """Delta-tile decode + scan.  rd [1, 1+S, TILE] u8;
+    ovf [1, M, Cap] u8.  See ``delta_tiles.py`` for the format.
+
+    Decode runs **rows-on-lanes** ([M, TILE] / [1, TILE] registers, 8x
+    fewer vregs than rows-on-sublanes) so the log2(TILE) prefix-sum and
+    forward-fill rolls are cheap; one [M, TILE] transpose hands the
+    codes to the shared scan tail.
+    """
+    M = ovf_ref.shape[1]
+    Cap = ovf_ref.shape[2]
+    rd = rd_ref[0].astype(jnp.int32)                       # [1+S, TILE]
+    mask = rd[0:1, :]                                      # [1, TILE]
+    iota_m = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
+    bitm = ((mask >> iota_m) & 1)                          # [M, TILE]
+    # exclusive prefix over the M sublanes: strictly-lower-tri matmul
+    # (values <= 8, exact in bf16): rank[m] = sum_{m'<m} bitm[m']
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
+           < jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
            ).astype(jnp.bfloat16)
-    rank = jnp.dot(bitm.astype(jnp.bfloat16), tri,
+    rank = jnp.dot(tri, bitm.astype(jnp.bfloat16),
                    preferred_element_type=jnp.float32).astype(jnp.int32)
-    nd = jnp.sum(bitm, axis=1, keepdims=True)              # [TILE, 1]
+    nd = jnp.sum(bitm, axis=0, keepdims=True)              # [1, TILE]
     is_ovf = nd > S
 
-    # overflow rank: exclusive prefix sum down the rows
+    # overflow rank: exclusive prefix sum along the lanes
     cum = is_ovf.astype(jnp.int32)
     s = 1
     while s < TILE:
-        cum = cum + _shift_down(cum, s, 0)
+        cum = cum + _shift_right(cum, s, 0)
         s *= 2
-    ovf_rank = cum - is_ovf.astype(jnp.int32)              # [TILE, 1]
+    ovf_rank = cum - is_ovf.astype(jnp.int32)              # [1, TILE]
 
     # scatter fixed slots into the hole matrix
-    H = jnp.full((TILE, M), -1, jnp.int32)
+    H = jnp.full((M, TILE), -1, jnp.int32)
     fixed = (bitm == 1) & jnp.logical_not(is_ovf)
     for j in range(S):
-        vj = rd[:, 1 + j:2 + j]                            # [TILE, 1]
+        vj = rd[1 + j:2 + j, :]                            # [1, TILE]
         H = jnp.where(fixed & (rank == j), vj, H)
 
     # scatter overflow full codes via one-hot matmul (code values
     # <= 255 are exact in bf16)
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (TILE, Cap), 1)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (Cap, 1), 0)
     ohov = ((ovf_rank == iota_c) & is_ovf).astype(jnp.bfloat16)
     ovf_bf = ovf_ref[0].astype(jnp.int32).astype(jnp.bfloat16)
-    hov = jnp.dot(ohov, ovf_bf,
-                  preferred_element_type=jnp.float32)      # [TILE, M]
+    hov = jnp.dot(ovf_bf, ohov,
+                  preferred_element_type=jnp.float32)      # [M, TILE]
     H = jnp.where(is_ovf, hov.astype(jnp.int32), H)
 
-    # forward-fill down the rows (log2(TILE) steps)
+    # forward-fill along the lanes (log2(TILE) steps)
     s = 1
     while s < TILE:
-        H = jnp.where(H >= 0, H, _shift_down(H, s, -1))
+        H = jnp.where(H >= 0, H, _shift_right(H, s, -1))
         s *= 2
 
-    _scan_tail(H, q_ref, cwbd_ref, n_valid_ref, out_ref, codes_out_ref,
-               oh_ref)
+    _scan_tail(H.T, q_ref, cwbd_ref, n_valid_ref, out_ref,
+               codes_out_ref, oh_ref)
 
 
 def _mins_call(kernel, data_specs, data_args, q, cwbd, n_valid, nt, M,
@@ -300,15 +306,15 @@ def fused_delta_mins(q: jnp.ndarray, cwbd: jnp.ndarray,
                      row_data: jnp.ndarray, ovf: jnp.ndarray,
                      n_valid: jnp.ndarray, S: int
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Delta tier: row_data [nT, TILE, 1+S] u8; ovf [nT, Cap, M] u8.
+    """Delta tier: row_data [nT, 1+S, TILE] u8; ovf [nT, M, Cap] u8.
     Returns (mins [NS, B] f32, decoded codes [N_pad, M] u8)."""
     nt = row_data.shape[0]
-    Cap, M = ovf.shape[1], ovf.shape[2]
+    M, Cap = ovf.shape[1], ovf.shape[2]
     return _mins_call(
         functools.partial(_delta_mins_kernel, S=S),
-        [pl.BlockSpec((1, TILE, 1 + S), lambda i: (i, 0, 0),
+        [pl.BlockSpec((1, 1 + S, TILE), lambda i: (i, 0, 0),
                       memory_space=pltpu.VMEM),
-         pl.BlockSpec((1, Cap, M), lambda i: (i, 0, 0),
+         pl.BlockSpec((1, M, Cap), lambda i: (i, 0, 0),
                       memory_space=pltpu.VMEM)],
         [row_data, ovf], q, cwbd, n_valid, nt, M,
         extra_flops=2 * nt * TILE * Cap * M)
@@ -327,10 +333,11 @@ def _fence_margin(fence: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
     return 0.02 * (jnp.abs(fence) + q2 + 1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("top_k", "n_sub"))
+@functools.partial(jax.jit,
+                   static_argnames=("top_k", "n_sub", "pool"))
 def select_rerank(mins: jnp.ndarray, q2: jnp.ndarray, table: jnp.ndarray,
                   codes: jnp.ndarray, n_valid: jnp.ndarray, top_k: int,
-                  n_sub: int
+                  n_sub: int, pool: int = 1
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Candidate selection + exact rerank.
 
@@ -340,9 +347,15 @@ def select_rerank(mins: jnp.ndarray, q2: jnp.ndarray, table: jnp.ndarray,
     Returns (dists [B, top_k] exact f32 ascending, rows [B, top_k]
     scan-order row ids, ok [B] exactness certificate).
 
-    Candidates = the union of the ``n_sub`` smallest subtiles' rows.
-    Certificate: every row of an unselected subtile has approximate
-    distance >= the (n_sub+1)-th subtile min (the fence); the result is
+    ``pool`` min-pools the subtile mins by that factor first, making
+    the candidate unit ``SUB*pool`` rows — the [B, NS] exact top_k is
+    the epilogue's dominant cost at large N, and pooling divides it
+    while keeping the fence bound valid (a pooled min lower-bounds all
+    its rows).
+
+    Candidates = the union of the ``n_sub`` smallest units' rows.
+    Certificate: every row of an unselected unit has approximate
+    distance >= the (n_sub+1)-th unit min (the fence); the result is
     certified exact only when the reranked k-th distance clears the
     fence with the bf16 error margin *subtracted* (conservative: a
     false "not exact" triggers the caller's escalation, a false "exact"
@@ -352,12 +365,19 @@ def select_rerank(mins: jnp.ndarray, q2: jnp.ndarray, table: jnp.ndarray,
     """
     B, NS = mins.shape
     M, K = table.shape[1], table.shape[2]
-    S = n_sub * SUB
+    unit = SUB * pool
+    if pool > 1:
+        pad = (-NS) % pool
+        if pad:
+            mins = jnp.concatenate(
+                [mins, jnp.full((B, pad), jnp.inf, mins.dtype)], axis=1)
+        mins = jnp.min(mins.reshape(B, -1, pool), axis=2)
+    S = n_sub * unit
     neg, sub_ids = jax.lax.top_k(-mins, n_sub + 1)
     fence = -neg[:, n_sub]
     sub_ids = sub_ids[:, :n_sub]
-    rows = (sub_ids[:, :, None] * SUB
-            + jnp.arange(SUB, dtype=jnp.int32)[None, None, :]
+    rows = (sub_ids[:, :, None] * unit
+            + jnp.arange(unit, dtype=jnp.int32)[None, None, :]
             ).reshape(B, S)
     safe = jnp.clip(rows, 0, codes.shape[0] - 1)
     cw = codes[safe].astype(jnp.int32)

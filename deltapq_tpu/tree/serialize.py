@@ -37,8 +37,19 @@ def _bitmaps_from_diffs(diff_num, diff_off, diff_m, n_nodes) -> np.ndarray:
     return bm
 
 
-def serialize_dtc(tree: DeltaTree) -> bytes:
-    """DeltaTree -> DTC byte stream (without the 16-byte file header)."""
+def serialize_dtc(tree: DeltaTree, auto_repair: bool = True) -> bytes:
+    """DeltaTree -> DTC byte stream (without the 16-byte file header).
+
+    The paired-depth byte stores two 4-bit nibbles (``:1781-1788``), so
+    depth must be <= 15; deeper trees (reachable with ``-h > 1``) are
+    **repaired in place** when ``auto_repair``: center re-root +
+    chain-halving (``tree/reroot.py:repair_tree``, the ``adjust_trees``
+    / ``rotate_trees`` semantics of ``pqbase.cpp:72-286``).  The repair
+    MUTATES ``tree``'s fields so the caller's object stays consistent
+    with the emitted stream (DFS order changes).  The reference
+    silently corrupts in this case (and even masks depth ``&7`` on
+    read, ``:2883``).
+    """
     n = tree.n
     M = tree.M
     if tree.K > 256:
@@ -49,13 +60,18 @@ def serialize_dtc(tree: DeltaTree) -> bytes:
             "DTC bitmap is a single byte (reference NUM_DIM=8, "
             "deltapq_create_approx_tree.h:36); M>8 cannot round-trip")
     if n > 1 and int(tree.depth.max()) > 15:
-        # the paired-depth byte stores two 4-bit nibbles (:1781-1788);
-        # deeper trees (reachable with -h > 1) cannot round-trip — the
-        # reference silently corrupts here (and even masks &7 on read)
-        raise ValueError(
-            f"tree depth {int(tree.depth.max())} exceeds the DTC "
-            f"format's 4-bit depth nibble (max 15); rebuild with a "
-            f"smaller -h or re-root (tree/reroot.py)")
+        if not auto_repair:
+            raise ValueError(
+                f"tree depth {int(tree.depth.max())} exceeds the DTC "
+                f"format's 4-bit depth nibble (max 15); rebuild with a "
+                f"smaller -h or re-root (tree/reroot.py)")
+        from .reroot import repair_tree
+
+        repaired = repair_tree(tree, max_depth=15)
+        for f in ("vec_id", "parent_pos", "depth", "diff_num",
+                  "diff_off", "diff_m", "diff_to", "child_pos_start",
+                  "child_num", "max_dist", "max_dist2p", "root_id"):
+            setattr(tree, f, getattr(repaired, f))
     # per-node (DFS pos 1..n-1) record sizes
     nd = tree.diff_num[1:].astype(np.int64)       # [n-1]
     j = np.arange(n - 1, dtype=np.int64)          # node index within stream

@@ -329,3 +329,42 @@ def test_chain_data_compression_near_optimal():
     bytes_per_vec = len(stream) / len(codes)
     assert bytes_per_vec < 3.6, bytes_per_vec  # vs 8 plain
     np.testing.assert_array_equal(tree.decode_codes(), codes)
+
+
+def test_serialize_repairs_deep_tree():
+    """depth > 15 (reachable with -h 2) must auto-repair inside
+    serialize_dtc (center reroot + chain halving, pqbase.cpp:72-286
+    semantics) and still round-trip losslessly."""
+    from deltapq_tpu.tree.layout import build_layout
+    from deltapq_tpu.tree.serialize import (serialize_dtc,
+                                            decode_dtc_to_codes)
+
+    rng = np.random.default_rng(5)
+    n, M = 64, 8
+    # a pure path tree: node i diffs from i-1 in one subspace
+    codes = np.empty((n, M), np.uint8)
+    codes[0] = rng.integers(0, 256, size=M)
+    for i in range(1, n):
+        codes[i] = codes[i - 1]
+        codes[i, rng.integers(0, M)] = rng.integers(0, 256)
+    edges = np.stack([np.arange(n - 1), np.arange(1, n)], axis=1)
+    tables = np.zeros((M, 256, 256), np.float32)
+    tree = build_layout(codes, edges, 0, K=256, tables=tables)
+    assert int(tree.depth.max()) == n - 1  # deep path
+    stream = serialize_dtc(tree)  # repairs in place
+    assert int(tree.depth.max()) <= 15
+    decoded = decode_dtc_to_codes(np.frombuffer(stream, np.uint8),
+                                  n, M)
+    # stream reproduces the tree's DFS-ordered codes; map back to ids
+    np.testing.assert_array_equal(
+        decoded[np.argsort(tree.vec_id.astype(np.int64))], codes)
+
+
+def test_rotate_tree_reduces_height():
+    from deltapq_tpu.tree.reroot import rotate_tree, tree_height
+
+    n = 33
+    edges = np.stack([np.arange(n - 1), np.arange(1, n)], axis=1)
+    oriented, root, h = rotate_tree(edges, 0, n)
+    assert h <= tree_height(edges, 0, n)
+    assert len(oriented) == n - 1

@@ -60,7 +60,7 @@ def main():
     from deltapq_tpu.ops.fused import (FusedCodesEngine,
                                        FusedCompressedEngine,
                                        FusedDecodedEngine,
-                                       _default_n_sub)
+                                       _default_n_sub, _pool_for)
 
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_048_576
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 128
@@ -94,7 +94,9 @@ def main():
               file=sys.stderr)
 
     results = {}
-    ns = _default_n_sub(top_k, -(-N // fp.SUB))
+    ns_total = -(-N // fp.SUB)
+    pool = _pool_for(ns_total)
+    ns = _default_n_sub(top_k, -(-ns_total // pool), fp.SUB * pool)
 
     if "decoded" in tiers:
         eng = FusedDecodedEngine(cw, codes)
@@ -109,7 +111,7 @@ def main():
                 mins = fp.fused_decoded_mins(
                     q.astype(jnp.bfloat16).T, xt, jnp.int32(N))
                 d, r, ok = fp.select_rerank(
-                    mins.T, q2, tab, cdev, jnp.int32(N), top_k, ns)
+                    mins.T, q2, tab, cdev, jnp.int32(N), top_k, ns, pool)
                 return acc + jnp.sum(d) + jnp.sum(r).astype(jnp.float32)
             return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
@@ -133,7 +135,7 @@ def main():
                     q.astype(jnp.bfloat16).T, cwbd, cdev,
                     jnp.int32(N))
                 d, r, ok = fp.select_rerank(
-                    mins.T, q2, tab, echo, jnp.int32(N), top_k, ns)
+                    mins.T, q2, tab, echo, jnp.int32(N), top_k, ns, pool)
                 return acc + jnp.sum(d) + jnp.sum(r).astype(jnp.float32)
             return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
@@ -159,7 +161,7 @@ def main():
                     q.astype(jnp.bfloat16).T, cwbd, rd, ovf,
                     jnp.int32(N), eng.tiles.S)
                 d, r, ok = fp.select_rerank(
-                    mins.T, q2, tab, echo, jnp.int32(N), top_k, ns)
+                    mins.T, q2, tab, echo, jnp.int32(N), top_k, ns, pool)
                 return acc + jnp.sum(d) + jnp.sum(r).astype(jnp.float32)
             return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
