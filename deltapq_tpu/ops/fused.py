@@ -48,10 +48,10 @@ def _pad_queries(queries: np.ndarray, d_pad: int, b_mult: int = 128
 
 
 def _pool_for(ns_total: int) -> int:
-    """Min-pool factor for the selection epilogue: the [B, NS] exact
-    top_k dominates the epilogue at large N, so coarsen the candidate
-    unit once NS is big (8 subtile mins -> one 256-row unit)."""
-    return 8 if ns_total > 8192 else 1
+    """Min-pool factor for the selection epilogue.  The [B, NS] exact
+    top_k is cheap up to NS ~ 10^5 (~0.13 ms at 32768); beyond that
+    (N > ~4M rows) coarsen the candidate unit 8x to keep it bounded."""
+    return 8 if ns_total > 131072 else 1
 
 
 def _default_n_sub(top_k: int, n_units: int, unit: int) -> int:

@@ -189,7 +189,8 @@ def _shift_right(x: jnp.ndarray, s: int, fill) -> jnp.ndarray:
 
 
 def _delta_mins_kernel(q_ref, cwbd_ref, n_valid_ref, rd_ref, ovf_ref,
-                       out_ref, codes_out_ref, oh_ref, *, S: int):
+                       ut_ref, out_ref, codes_out_ref, oh_ref, *,
+                       S: int):
     """Delta-tile decode + scan.  rd [1, 1+S, TILE] u8;
     ovf [1, M, Cap] u8.  See ``delta_tiles.py`` for the format.
 
@@ -214,13 +215,13 @@ def _delta_mins_kernel(q_ref, cwbd_ref, n_valid_ref, rd_ref, ovf_ref,
     nd = jnp.sum(bitm, axis=0, keepdims=True)              # [1, TILE]
     is_ovf = nd > S
 
-    # overflow rank: exclusive prefix sum along the lanes
-    cum = is_ovf.astype(jnp.int32)
-    s = 1
-    while s < TILE:
-        cum = cum + _shift_right(cum, s, 0)
-        s *= 2
-    ovf_rank = cum - is_ovf.astype(jnp.int32)              # [1, TILE]
+    # overflow rank: exclusive prefix sum along the lanes as ONE f32
+    # matmul against the resident strict-upper-triangular matrix (a
+    # log-step roll chain is ~10 dependent VPU ops — pure latency;
+    # counts <= TILE are exact in f32)
+    ovf_rank = jnp.dot(is_ovf.astype(jnp.float32), ut_ref[:],
+                       preferred_element_type=jnp.float32
+                       ).astype(jnp.int32)                 # [1, TILE]
 
     # scatter fixed slots into the hole matrix
     H = jnp.full((M, TILE), -1, jnp.int32)
@@ -310,13 +311,18 @@ def fused_delta_mins(q: jnp.ndarray, cwbd: jnp.ndarray,
     Returns (mins [NS, B] f32, decoded codes [N_pad, M] u8)."""
     nt = row_data.shape[0]
     M, Cap = ovf.shape[1], ovf.shape[2]
+    ut = (jnp.expand_dims(jnp.arange(TILE, dtype=jnp.int32), 1)
+          < jnp.expand_dims(jnp.arange(TILE, dtype=jnp.int32), 0)
+          ).astype(jnp.float32)
     return _mins_call(
         functools.partial(_delta_mins_kernel, S=S),
         [pl.BlockSpec((1, 1 + S, TILE), lambda i: (i, 0, 0),
                       memory_space=pltpu.VMEM),
          pl.BlockSpec((1, M, Cap), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM),
+         pl.BlockSpec((TILE, TILE), lambda i: (0, 0),
                       memory_space=pltpu.VMEM)],
-        [row_data, ovf], q, cwbd, n_valid, nt, M,
+        [row_data, ovf, ut], q, cwbd, n_valid, nt, M,
         extra_flops=2 * nt * TILE * Cap * M)
 
 
@@ -379,8 +385,14 @@ def select_rerank(mins: jnp.ndarray, q2: jnp.ndarray, table: jnp.ndarray,
     rows = (sub_ids[:, :, None] * unit
             + jnp.arange(unit, dtype=jnp.int32)[None, None, :]
             ).reshape(B, S)
-    safe = jnp.clip(rows, 0, codes.shape[0] - 1)
-    cw = codes[safe].astype(jnp.int32)
+    # gather candidate codes at BLOCK granularity: B*n_sub contiguous
+    # unit-row slices instead of B*S scattered rows (~8x fewer gather
+    # descriptors — the row gather dominates the epilogue otherwise)
+    n_pad_rows = codes.shape[0]
+    n_units_total = n_pad_rows // unit
+    safe_units = jnp.clip(sub_ids, 0, n_units_total - 1)
+    cw = codes.reshape(n_units_total, unit, M)[safe_units]  # [B,ns,u,M]
+    cw = cw.reshape(B, S, M).astype(jnp.int32)
     tf = table.reshape(B, M * K)
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2)
     exact = jnp.zeros((B, S), jnp.float32)

@@ -108,6 +108,22 @@ def make_sharded_query_fn(mesh: Mesh, top_k: int, tile_n: int = 8192,
     return jax.jit(mapped)
 
 
+def _pad_codes_for_mesh(codes: np.ndarray, mesh: Mesh,
+                        tile_n: int = 8192):
+    """Pad rows so each shard gets the same count (a multiple of the
+    scan tile).  Returns (codes_padded, n_valid)."""
+    n_shards = mesh.devices.size
+    n_valid = codes.shape[0]
+    per = max(256, -(-n_valid // n_shards))
+    per = -(-per // tile_n) * tile_n if per > tile_n else per
+    total = n_shards * per
+    if codes.shape[0] < total:
+        codes = np.concatenate(
+            [codes, np.zeros((total - codes.shape[0], codes.shape[1]),
+                             codes.dtype)])
+    return codes, n_valid
+
+
 def sharded_query_plain(codewords: np.ndarray, queries: np.ndarray,
                         codes: np.ndarray, top_k: int = 10,
                         mesh: Optional[Mesh] = None, tile_n: int = 8192

@@ -105,3 +105,28 @@ def test_sharded_decoded_matches_single_device(rng, small_dataset):
         mesh = make_mesh(nd)
         d, i = sharded_query_decoded(cw, q, codes, top_k=10, mesh=mesh)
         np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)
+
+
+def test_pipelined_query_matches_sharded(small_dataset):
+    """The software-pipelined batch stream (merge of batch i-1
+    overlapped with batch i's scan) must return the same results as
+    the unpipelined sharded query, batch for batch."""
+    import jax.numpy as jnp
+
+    from deltapq_tpu.ops.encode import pq_encode
+    from deltapq_tpu.ops.kmeans import pq_learn
+    from deltapq_tpu.parallel.mesh import make_mesh
+    from deltapq_tpu.parallel.pipeline import pipelined_query
+    from deltapq_tpu.parallel.sharded import sharded_query_plain
+
+    cw = pq_learn(jax.random.key(0), small_dataset, 4, 16,
+                  max_iters=10)
+    codes = pq_encode(cw, small_dataset)
+    queries = small_dataset[:96] + 0.02  # 3 batches of 32
+    mesh = make_mesh()
+    d_ref, i_ref = sharded_query_plain(cw, queries, codes, top_k=5,
+                                       mesh=mesh)
+    d, i = pipelined_query(cw, queries, codes, mesh, top_k=5,
+                           batch_size=32)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)
+    assert float(np.mean(i == i_ref)) > 0.95  # ties only
