@@ -53,7 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max edge weight (default M)")
     p.add_argument("-h", dest="height", type=int, default=1,
                    help="tree height multiplier (MAX_HEIGHT = M*h)")
-    p.add_argument("-method", type=int, default=1, choices=[1, 2])
+    p.add_argument("-method", type=int, default=1, choices=[1, 2, 3],
+                   help="edge finding: 1=height star, 2=WOH, 3=TA "
+                        "minimum-weight attachment (find_edge.cpp:48)")
     p.add_argument("-debug", type=int, default=0)
     p.add_argument("-seed", type=int, default=0)
     p.add_argument("-batch", type=int, default=128,
@@ -311,11 +313,17 @@ def task_approx_tree(args, metrics: Metrics):
                              n_diffs=int(z["n_diffs"]),
                              finalists=np.zeros(0, np.int64))
     else:
+        ta_tables = None
+        if args.method == 3:
+            from .tree.layout import mkk_tables
+
+            ta_tables = mkk_tables(cw)
         with metrics.stage("find_edges"):
             res = find_edges_by_diff(
                 codes, K=args.k,
                 diff_argument=tcfg.resolved_diff(args.m),
-                max_height_folds=args.height, method=args.method)
+                max_height_folds=args.height, method=args.method,
+                tables=ta_tables)
         np.savez(edges_path, edges=res.edges, root_id=res.root_id,
                  n_diffs=res.n_diffs)
     print(f"found {len(res.edges)} edges, {res.n_diffs} diffs")

@@ -368,3 +368,42 @@ def test_rotate_tree_reduces_height():
     oriented, root, h = rotate_tree(edges, 0, n)
     assert h <= tree_height(edges, 0, n)
     assert len(oriented) == n - 1
+
+
+def test_ta_edge_finding_method3(small_dataset):
+    """Method 3 (TA minimum-weight attachment) must yield a valid
+    spanning tree with total table-distance weight <= method 1's."""
+    import jax
+
+    from deltapq_tpu.ops.encode import pq_encode
+    from deltapq_tpu.ops.kmeans import pq_learn
+    from deltapq_tpu.tree.build import find_edges_by_diff
+    from deltapq_tpu.tree.layout import mkk_tables, table_code_dists
+
+    cw = pq_learn(jax.random.key(0), small_dataset, 4, 16,
+                  max_iters=10)
+    codes = pq_encode(cw, small_dataset)
+    tables = mkk_tables(cw)
+
+    def weight(res):
+        return float(table_code_dists(
+            tables, np.asarray(codes),
+            res.edges[:, 0].astype(np.int64),
+            res.edges[:, 1].astype(np.int64)).sum())
+
+    r1 = find_edges_by_diff(np.asarray(codes), K=16, method=1)
+    r3 = find_edges_by_diff(np.asarray(codes), K=16, method=3,
+                            tables=tables)
+    n = len(codes)
+    assert len(r3.edges) == n - 1
+    # spanning + acyclic
+    parents = np.full(n, -1, np.int64)
+    parents[r3.edges[:, 1].astype(np.int64)] = r3.edges[:, 0]
+    assert (parents < 0).sum() == 1
+    anc = parents.copy()
+    for _ in range(64):
+        if not (anc >= 0).any():
+            break
+        anc = np.where(anc >= 0, parents[np.maximum(anc, 0)], -1)
+    assert not (anc >= 0).any(), "tree deeper than 64 => cycle"
+    assert weight(r3) <= weight(r1) * 1.02
