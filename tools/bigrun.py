@@ -1,0 +1,118 @@
+"""Big-N end-to-end run (BASELINE config 4 analog, synthetic):
+chunked generate -> TPU encode -> partitioned build -> compressed-tier
+query -> recall vs streamed exact groundtruth, all timed, with host
+memory bounded by the chunk size.
+
+Usage: python tools/bigrun.py [N] [n_parts] [n_queries]
+Writes a JSON summary to BIGRUN.json at the repo root.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+CHUNK = 1_000_000
+D, M, K, Ds = 128, 8, 256, 16
+N_CLUSTERS = 65536
+
+
+def chunk_vectors(chunk_id: int, n: int, centers: np.ndarray
+                  ) -> np.ndarray:
+    """Deterministic per-chunk generation (regenerable for the
+    groundtruth pass without storing 100M x 128 floats)."""
+    rng = np.random.default_rng(1000 + chunk_id)
+    assign = rng.integers(0, len(centers), size=n)
+    return (centers[assign]
+            + rng.normal(size=(n, D)).astype(np.float32) * 0.3)
+
+
+def main():
+    n_total = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000_000
+    n_parts = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    n_q = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+    top_k = 10
+    report = {"n": n_total, "n_parts": n_parts, "n_queries": n_q}
+
+    import jax
+
+    from deltapq_tpu.bigscale import BigCompressedIndex, encode_stream
+    from deltapq_tpu.eval.groundtruth import exact_topk
+    from deltapq_tpu.eval.metrics import recall_at_k
+    from deltapq_tpu.ops.kmeans import pq_learn
+    from deltapq_tpu.profiling import host_mem_usage
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(N_CLUSTERS, D)).astype(np.float32) * 4.0
+    queries = chunk_vectors(999_999, n_q, centers)
+    n_chunks = -(-n_total // CHUNK)
+
+    def chunks():
+        left = n_total
+        for c in range(n_chunks):
+            n = min(CHUNK, left)
+            left -= n
+            yield chunk_vectors(c, n, centers)
+
+    print(f"[bigrun] N={n_total} parts={n_parts} backend="
+          f"{jax.default_backend()}", flush=True)
+
+    t0 = time.time()
+    cw = pq_learn(jax.random.PRNGKey(0),
+                  chunk_vectors(0, min(100_000, n_total), centers),
+                  M=M, K=K, max_iters=60)
+    report["t_learn_s"] = round(time.time() - t0, 1)
+    print(f"[bigrun] learn {report['t_learn_s']}s", flush=True)
+
+    t0 = time.time()
+    codes = encode_stream(cw, chunks())
+    report["t_encode_s"] = round(time.time() - t0, 1)
+    report["mem_after_encode_mb"] = round(
+        host_mem_usage()["rss_kb"] / 1024, 1)
+    print(f"[bigrun] encode {report['t_encode_s']}s "
+          f"rss={report['mem_after_encode_mb']}MB", flush=True)
+
+    t0 = time.time()
+    idx = BigCompressedIndex(cw, codes, n_parts=n_parts, workers=2)
+    report["t_build_s"] = round(time.time() - t0, 1)
+    report["t_sort_s"] = round(idx.build_stats.t_sort, 1)
+    report["t_trees_s"] = round(idx.build_stats.t_build, 1)
+    report["n_diffs"] = int(idx.build_stats.n_diffs)
+    report["bytes_per_vec"] = round(idx.bytes_per_vec(), 3)
+    report["mem_after_build_mb"] = round(
+        host_mem_usage()["rss_kb"] / 1024, 1)
+    print(f"[bigrun] build {report['t_build_s']}s "
+          f"(sort {report['t_sort_s']}s trees {report['t_trees_s']}s) "
+          f"{report['bytes_per_vec']} B/vec", flush=True)
+
+    # warm + timed query
+    t0 = time.time()
+    d, ids = idx.query(queries, top_k=top_k)
+    report["t_first_query_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    d, ids = idx.query(queries, top_k=top_k)
+    report["t_query_batch_s"] = round(time.time() - t0, 3)
+    report["qps"] = round(n_q / max(time.time() - t0, 1e-9), 1)
+    print(f"[bigrun] query batch {report['t_query_batch_s']}s",
+          flush=True)
+
+    t0 = time.time()
+    gt_d, gt_i = exact_topk(queries, chunks(), top_k=top_k)
+    report["t_groundtruth_s"] = round(time.time() - t0, 1)
+    rec = recall_at_k(ids, gt_i, k=top_k)
+    report["recall_at_10"] = round(float(rec), 4)
+    print(f"[bigrun] groundtruth {report['t_groundtruth_s']}s "
+          f"recall@10={rec:.4f}", flush=True)
+
+    with open(os.path.join(ROOT, "BIGRUN.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
