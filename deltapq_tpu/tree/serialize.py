@@ -439,3 +439,74 @@ def serialize_dtc_row_store(tree: "DeltaTree", raw_vectors: np.ndarray
         out.write(stream[off:off + 2 + ndiff].tobytes())
         out.write(raw[tree.vec_id[i]].tobytes())
     return out.getvalue()
+
+
+def deserialize_dtc_row_store(stream: bytes, n_codes: int, M: int,
+                              d_raw: int):
+    """Decode the row-store stream back to (codes [N, M] u8 DFS order,
+    raw vectors [N, d_raw] u8 DFS order) — the read side of
+    ``serialize_dtc_row_store`` (reference row-store scan,
+    ``deltapq_create_approx_tree.h:3453-3645``, which skips the raw
+    bytes during the distance pass and fetches them for winners)."""
+    s = np.frombuffer(stream, np.uint8)
+    codes = np.zeros((n_codes, M), np.uint8)
+    raw = np.zeros((n_codes, d_raw), np.uint8)
+    stack = np.zeros((17, M), np.uint8)
+    off = 0
+    codes[0] = s[off:off + M]
+    stack[0] = codes[0]
+    off += M
+    raw[0] = s[off:off + d_raw]
+    off += d_raw
+    i = 1
+    while i < n_codes:
+        pair = min(2, n_codes - i)
+        depth_byte = int(s[off]); off += 1
+        depths = [depth_byte & 0xF, (depth_byte >> 4) & 0xF]
+        for half in range(pair):
+            d = depths[half] if pair == 2 or half == 0 else 0
+            bm = int(s[off]); off += 1
+            row = stack[d - 1].copy()
+            for m in range(M):
+                if bm & (1 << m):
+                    row[m] = s[off]; off += 1
+            stack[d] = row
+            codes[i + half] = row
+            raw[i + half] = s[off:off + d_raw]
+            off += d_raw
+        i += pair
+    return codes, raw
+
+
+def query_row_store(stream: bytes, n_codes: int, M: int, d_raw: int,
+                    codewords: np.ndarray, queries: np.ndarray,
+                    vec_id: np.ndarray, top_k: int = 10):
+    """Query over the row-store stream: decode (lossless), plain ADC
+    scan, and return the winners' co-located raw vectors — the
+    reference's row-store value proposition (``:3453-3645``).
+
+    Returns (dists [B, k], db_ids [B, k], raw_rows [B, k, d_raw] u8).
+    """
+    from ..ops.adc import query_plain
+
+    codes, raw = deserialize_dtc_row_store(stream, n_codes, M, d_raw)
+    d, rows = query_plain(codewords, queries, codes, top_k=top_k,
+                          engine="xla")
+    vid = np.asarray(vec_id, np.int64)
+    ids = vid[rows]
+    return d, ids, raw[rows]
+
+
+def query_bits(stream: bytes, n_bits: int, n_codes: int, M: int,
+               codewords: np.ndarray, queries: np.ndarray,
+               vec_id: np.ndarray, top_k: int = 10):
+    """Query over the legacy bit-format stream (reference
+    ``query_processing_scan_compressed_codes``, ``:2193-2302``):
+    lossless decode then plain ADC scan — identical distances by
+    construction.  Returns (dists, db_ids)."""
+    from ..ops.adc import query_plain
+
+    codes = deserialize_bits(stream, n_bits, n_codes, M)
+    d, rows = query_plain(codewords, queries, codes, top_k=top_k,
+                          engine="xla")
+    return d, np.asarray(vec_id, np.int64)[rows]

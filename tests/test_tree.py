@@ -407,3 +407,42 @@ def test_ta_edge_finding_method3(small_dataset):
         anc = np.where(anc >= 0, parents[np.maximum(anc, 0)], -1)
     assert not (anc >= 0).any(), "tree deeper than 64 => cycle"
     assert weight(r3) <= weight(r1) * 1.02
+
+
+def test_row_store_and_bits_query_paths(small_dataset):
+    """Query entry points over the row-store and bit-format streams:
+    decode is lossless so distances match the plain scan; row-store
+    also returns the winners' co-located raw bytes."""
+    import jax
+
+    from deltapq_tpu.ops.adc import query_plain
+    from deltapq_tpu.ops.encode import pq_encode
+    from deltapq_tpu.ops.kmeans import pq_learn
+    from deltapq_tpu.tree.build import find_edges_by_diff
+    from deltapq_tpu.tree.layout import build_layout
+    from deltapq_tpu.tree.serialize import (query_bits, query_row_store,
+                                            serialize_bits,
+                                            serialize_dtc_row_store)
+
+    x = small_dataset[:500]
+    cw = pq_learn(jax.random.key(0), x, 4, 16, max_iters=10)
+    codes = np.asarray(pq_encode(cw, x))
+    res = find_edges_by_diff(codes, K=16)
+    tree = build_layout(codes, res.edges, res.root_id, K=16,
+                        codewords=cw)
+    queries = x[:16] + 0.03
+    d_ref, i_ref = query_plain(cw, queries, codes, top_k=5,
+                               engine="xla")
+
+    raw = np.clip(x * 8 + 128, 0, 255).astype(np.uint8)
+    rs = serialize_dtc_row_store(tree, raw)
+    d, ids, raw_rows = query_row_store(
+        rs, tree.n, tree.M, raw.shape[1], cw, queries, tree.vec_id,
+        top_k=5)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(raw_rows[:, 0], raw[ids[:, 0]])
+
+    bs, n_bits = serialize_bits(tree)
+    db, ib = query_bits(bs, n_bits, tree.n, tree.M, cw, queries,
+                        tree.vec_id, top_k=5)
+    np.testing.assert_allclose(db, d_ref, rtol=1e-5, atol=1e-4)
