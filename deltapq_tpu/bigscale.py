@@ -97,7 +97,13 @@ def build_partitioned(codes: np.ndarray, n_parts: int = 16,
                      method))
     results = []
     if workers > 1 and n_parts > 1:
-        with ProcessPoolExecutor(max_workers=workers) as ex:
+        # spawn (not fork): the parent's JAX runtime is multithreaded
+        # and fork risks deadlock in the children
+        import multiprocessing as mp
+
+        with ProcessPoolExecutor(
+                max_workers=workers,
+                mp_context=mp.get_context("spawn")) as ex:
             results = list(ex.map(_build_one_partition, jobs))
     else:
         results = [_build_one_partition(j) for j in jobs]

@@ -75,8 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-src_a", default=None, help="combine: first code file")
     p.add_argument("-src_b", default=None, help="combine: second code file")
     p.add_argument("-engine", default="auto",
-                   choices=["auto", "xla", "pallas", "decoded"],
-                   help="plain-scan engine (see docs/ARCHITECTURE.md)")
+                   choices=["auto", "xla", "pallas", "decoded",
+                            "fused", "fused_codes", "fused_compressed"],
+                   help="scan engine (see docs/ARCHITECTURE.md): "
+                        "fused* = round-2 subtile-min kernels "
+                        "(fused=decoded bf16 tier, fused_codes=u8 "
+                        "tier, fused_compressed=delta-tile tier)")
     p.add_argument("-force", type=int, default=0,
                    help="rebuild artifacts even if cached files exist "
                         "(reference semantics: every stage is cached and "
@@ -259,6 +263,26 @@ def task_query(args, metrics: Metrics):
             from .ops.decoded import DecodedEngine
             eng = DecodedEngine(cw, codes)
             d, i = eng.query(q, top_k=args.topk)
+        elif args.engine in ("fused", "fused_codes",
+                             "fused_compressed"):
+            from .ops.fused import (FusedCodesEngine,
+                                    FusedCompressedEngine,
+                                    FusedDecodedEngine)
+            if args.engine == "fused":
+                eng = FusedDecodedEngine(cw, codes)
+            elif args.engine == "fused_codes":
+                eng = FusedCodesEngine(cw, codes)
+            else:
+                order = np.lexsort(np.asarray(codes).T[::-1])
+                eng = FusedCompressedEngine(
+                    cw, np.asarray(codes)[order], row_to_db=order)
+            d = np.empty((len(q), args.topk), np.float32)
+            i = np.empty((len(q), args.topk), np.int64)
+            for off in range(0, len(q), args.batch):
+                db, ib = eng.query(q[off:off + args.batch],
+                                   top_k=args.topk)
+                d[off:off + len(db)] = db
+                i[off:off + len(ib)] = ib
         elif len(q) > args.batch:
             # continuous batching: fixed-size dispatches, double-buffered
             from .parallel.runtime import ContinuousBatcher, batch_iterator

@@ -52,13 +52,20 @@ def exact_topk(queries: np.ndarray, base_iter, top_k: int = 100,
     best_i = jnp.full((B, top_k), -1, jnp.int32)
     offset = 0
     for x_tile in base_iter:
-        x_tile = np.asarray(x_tile, np.float32)
+        # keep integer (bvecs-style) tiles in their narrow dtype for
+        # the host->device transfer; convert to f32 on device
+        x_tile = np.asarray(x_tile)
+        if x_tile.dtype not in (np.uint8, np.int8):
+            x_tile = x_tile.astype(np.float32, copy=False)
         n = len(x_tile)
         pad = (-n) % 256
         if pad:
             x_tile = np.pad(x_tile, ((0, pad), (0, 0)))
+        xd = jnp.asarray(x_tile)
+        if xd.dtype != jnp.float32:
+            xd = xd.astype(jnp.float32)
         best_d, best_i = _exact_tile_topk(
-            q, jnp.asarray(x_tile), jnp.int32(offset),
+            q, xd, jnp.int32(offset),
             jnp.int32(offset + n), best_d, best_i, top_k)
         offset += n
     order = jnp.argsort(best_d, axis=1)

@@ -95,6 +95,8 @@ class DeltaPQIndex:
         """
         from .ops import query_plain
 
+        if self.engine in ("fused", "fused_codes", "fused_compressed"):
+            return self._search_fused(queries, top_k)
         q = np.asarray(queries, np.float32)
         fetch = top_k + int(self.deleted.sum())
         fetch = min(1 << (max(fetch, 1) - 1).bit_length(), self.n)
@@ -122,6 +124,50 @@ class DeltaPQIndex:
         i = np.where(np.isinf(d), -1, i)
         return d, i
 
+    def _search_fused(self, queries, top_k):
+        """Fused-engine search path (round-2 tiers): the engine object
+        is cached and rebuilt lazily after add/remove/compact."""
+        if getattr(self, "_fused_engine", None) is None:
+            from .ops.fused import (FusedCodesEngine,
+                                    FusedCompressedEngine,
+                                    FusedDecodedEngine)
+
+            codes = self._all_codes()
+            if self.engine == "fused":
+                self._fused_engine = FusedDecodedEngine(
+                    self.codewords, codes)
+            elif self.engine == "fused_codes":
+                self._fused_engine = FusedCodesEngine(
+                    self.codewords, codes)
+            else:
+                if self.tree is not None and len(self.tail) == 0:
+                    self._fused_engine = FusedCompressedEngine.from_tree(
+                        self.codewords, self.tree)
+                else:
+                    order = np.lexsort(np.asarray(codes).T[::-1])
+                    self._fused_engine = FusedCompressedEngine(
+                        self.codewords, np.asarray(codes)[order],
+                        row_to_db=order)
+        k_eff = min(top_k, self.n)
+        d, i = self._fused_engine.query(np.asarray(queries, np.float32),
+                                        top_k=k_eff)
+        i = i.astype(np.int64)
+        if self.deleted.any():
+            dele = np.flatnonzero(self.deleted)
+            bad = np.isin(i, dele)
+            d = np.where(bad, np.inf, d)
+            order = np.argsort(d, axis=1, kind="stable")
+            d = np.take_along_axis(d, order, axis=1)
+            i = np.take_along_axis(i, order, axis=1)
+        if k_eff < top_k:
+            pad = top_k - k_eff
+            d = np.concatenate(
+                [d, np.full((len(d), pad), np.inf, d.dtype)], axis=1)
+            i = np.concatenate(
+                [i, np.full((len(i), pad), -1, i.dtype)], axis=1)
+        i = np.where(np.isinf(d), -1, i)
+        return d[:, :top_k], i[:, :top_k]
+
     # -- updates -----------------------------------------------------------
 
     def add(self, vecs: np.ndarray) -> np.ndarray:
@@ -134,6 +180,7 @@ class DeltaPQIndex:
         ids = np.arange(self.n, self.n + len(new_codes))
         self.tail = np.concatenate([self.tail, new_codes])
         self._cached_codes = None
+        self._fused_engine = None
         if len(self.tail) > self.rebuild_fraction * max(len(self.codes), 1):
             self.compact()
         return ids
@@ -158,6 +205,7 @@ class DeltaPQIndex:
         self.codes = all_codes
         self.tail = np.empty((0, self.M), self.codes.dtype)
         self.deleted = np.zeros(0, bool)
+        self._fused_engine = None
         self._cached_codes = None
         if self.K <= 256 and self.M <= 8 and len(self.codes):
             self._build_tree()

@@ -33,10 +33,15 @@ import numpy as np
 
 
 def build_decoded_cache(codewords: np.ndarray, codes: np.ndarray,
-                        batch: int = 262144):
+                        batch: int = 262144, center=None):
     """Returns (xhat_hi bf16 [N, D], xhat_lo bf16 [N, D], precomp f32 [N]).
 
     hi + lo reproduces the f32 decoded vector to ~2^-18 relative.
+    ``center`` (f32 [D]) is subtracted before the bf16 split (distance-
+    invariant translation; see ``fused_pallas.codebook_center`` — it
+    keeps bf16 rounding proportional to the data spread, not to the
+    common-mode magnitude).  precomp stays the UNcentered norm (used by
+    the legacy decoded engine only).
     """
     codewords = np.asarray(codewords, np.float32)
     M, K, Ds = codewords.shape
@@ -52,6 +57,8 @@ def build_decoded_cache(codewords: np.ndarray, codes: np.ndarray,
         for m in range(M):
             x[:, m * Ds:(m + 1) * Ds] = codewords[m][c[:, m]]
             precomp[off:off + batch] += c2[m][c[:, m]]
+        if center is not None:
+            x = x - center[None, :]
         h = x.astype(jnp.bfloat16)
         hi[off:off + batch] = h
         lo[off:off + batch] = (x - h.astype(np.float32)).astype(jnp.bfloat16)

@@ -46,7 +46,11 @@ def pq_encode(codewords: np.ndarray, vecs: np.ndarray,
     M, K, Ds = codewords.shape
     D = M * Ds
     out_dtype = "uint8" if K <= 256 else "uint16"
-    vecs = np.asarray(vecs, np.float32)
+    vecs = np.asarray(vecs)
+    if vecs.dtype not in (np.uint8, np.int8):
+        # integer (bvecs-style) inputs stay narrow for the
+        # host->device transfer and convert to f32 on device
+        vecs = vecs.astype(np.float32, copy=False)
     if vecs.shape[1] < D:
         vecs = np.pad(vecs, ((0, 0), (0, D - vecs.shape[1])))
     elif vecs.shape[1] > D:
@@ -55,6 +59,8 @@ def pq_encode(codewords: np.ndarray, vecs: np.ndarray,
     chunks = []
     for off in range(0, len(vecs), batch_size):
         xb = jnp.asarray(vecs[off:off + batch_size])
+        if xb.dtype != jnp.float32:
+            xb = xb.astype(jnp.float32)
         chunks.append(np.asarray(_encode_batch(cw, xb, out_dtype)))
     return np.concatenate(chunks, axis=0) if chunks else \
         np.empty((0, M), dtype=out_dtype)

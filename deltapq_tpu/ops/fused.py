@@ -70,14 +70,19 @@ def _select_with_escalation(mins_bn, q2, table, codes_dev, n_valid,
     ns_total = mins_bn.shape[1]
     pool = _pool_for(ns_total)
     n_units = -(-ns_total // pool)
-    ns = n_sub or _default_n_sub(top_k, n_units, fp.SUB * pool)
+    unit = fp.SUB * pool
+    ns = n_sub or _default_n_sub(top_k, n_units, unit)
     ns = min(ns, max(n_units - 1, 1))
+    # escalation ceiling: the rerank gathers ns*unit rows per query —
+    # cap the candidate pool at 64k rows and fall through to the full
+    # exact scan beyond that (rare: tie-saturated data)
+    ns_cap = min(max(n_units - 1, 1), max(ns, 65536 // unit))
     d, rows, ok = fp.select_rerank(mins_bn, q2, table, codes_dev,
                                    n_valid, top_k, ns, pool)
     first_frac = float(jnp.mean(ok))
     okh = bool(jnp.all(ok))
-    while not okh and ns < n_units - 1:
-        ns = min(ns * 4, n_units - 1)
+    while not okh and ns < ns_cap:
+        ns = min(ns * 4, ns_cap)
         d, rows, ok = fp.select_rerank(mins_bn, q2, table, codes_dev,
                                        n_valid, top_k, ns, pool)
         okh = bool(jnp.all(ok))
@@ -104,7 +109,10 @@ class FusedDecodedEngine:
         self.D = M * Ds
         self.d_pad = -(-self.D // 128) * 128
         self.n_valid = codes.shape[0]
-        hi, _lo, _pre = build_decoded_cache(codewords, np.asarray(codes))
+        self.mu = np.zeros(self.d_pad, np.float32)
+        self.mu[:self.D] = fp.codebook_center(codewords)
+        hi, _lo, _pre = build_decoded_cache(codewords, np.asarray(codes),
+                                            center=self.mu[:self.D])
         if self.d_pad != self.D:
             hi = np.concatenate(
                 [hi, np.zeros((len(hi), self.d_pad - self.D),
@@ -122,8 +130,9 @@ class FusedDecodedEngine:
         q, b = _pad_queries(queries, self.d_pad)
         qj = jnp.asarray(q)
         table = adc_table(self.codewords, qj[:, :self.D])
-        q2 = jnp.sum(qj * qj, axis=1)
-        mins = fp.fused_decoded_mins(qj.astype(jnp.bfloat16).T, self.xt,
+        qc = jnp.asarray(q - self.mu[None, :])  # centered scan domain
+        q2 = jnp.sum(qc * qc, axis=1)
+        mins = fp.fused_decoded_mins(qc.astype(jnp.bfloat16).T, self.xt,
                                      jnp.int32(self.n_valid))
         d, rows, frac = _select_with_escalation(
             mins.T, q2, table, self.codes, jnp.int32(self.n_valid),
@@ -156,7 +165,10 @@ class FusedCodesEngine:
         codes_p = np.zeros((n_pad, M), np.uint8)
         codes_p[:self.n_valid] = codes
         self.codes = jnp.asarray(codes_p)
-        self.cwbd = jnp.asarray(fp.build_blockdiag_codebook(codewords))
+        self.mu = np.zeros(self.d_pad, np.float32)
+        self.mu[:self.D] = fp.codebook_center(codewords)
+        self.cwbd = jnp.asarray(fp.build_blockdiag_codebook(
+            codewords, center=self.mu[:self.D]))
 
     def query(self, queries: np.ndarray, top_k: int = 10,
               n_sub: Optional[int] = None
@@ -164,9 +176,10 @@ class FusedCodesEngine:
         q, b = _pad_queries(queries, self.d_pad)
         qj = jnp.asarray(q)
         table = adc_table(self.codewords, qj[:, :self.D])
-        q2 = jnp.sum(qj * qj, axis=1)
+        qc = jnp.asarray(q - self.mu[None, :])  # centered scan domain
+        q2 = jnp.sum(qc * qc, axis=1)
         mins, codes_echo = fp.fused_codes_mins(
-            qj.astype(jnp.bfloat16).T, self.cwbd, self.codes,
+            qc.astype(jnp.bfloat16).T, self.cwbd, self.codes,
             jnp.int32(self.n_valid))
         d, rows, frac = _select_with_escalation(
             mins.T, q2, table, codes_echo, jnp.int32(self.n_valid),
@@ -200,7 +213,10 @@ class FusedCompressedEngine:
         self.n_valid = self.tiles.n_valid
         self.row_data = jnp.asarray(self.tiles.row_data)
         self.ovf = jnp.asarray(self.tiles.ovf)
-        self.cwbd = jnp.asarray(fp.build_blockdiag_codebook(codewords))
+        self.mu = np.zeros(self.d_pad, np.float32)
+        self.mu[:self.D] = fp.codebook_center(codewords)
+        self.cwbd = jnp.asarray(fp.build_blockdiag_codebook(
+            codewords, center=self.mu[:self.D]))
         self.row_to_db = (jnp.asarray(
             np.asarray(row_to_db).astype(np.int32))
             if row_to_db is not None else None)
@@ -222,9 +238,10 @@ class FusedCompressedEngine:
         q, b = _pad_queries(queries, self.d_pad)
         qj = jnp.asarray(q)
         table = adc_table(self.codewords, qj[:, :self.D])
-        q2 = jnp.sum(qj * qj, axis=1)
+        qc = jnp.asarray(q - self.mu[None, :])  # centered scan domain
+        q2 = jnp.sum(qc * qc, axis=1)
         mins, codes_echo = fp.fused_delta_mins(
-            qj.astype(jnp.bfloat16).T, self.cwbd, self.row_data,
+            qc.astype(jnp.bfloat16).T, self.cwbd, self.row_data,
             self.ovf, jnp.int32(self.n_valid), self.tiles.S)
         d, rows, frac = _select_with_escalation(
             mins.T, q2, table, codes_echo, jnp.int32(self.n_valid),

@@ -44,7 +44,7 @@ the subtile-min is a static loop of contiguous [SUB, B] block reduces
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -143,16 +143,32 @@ def fused_decoded_mins(q: jnp.ndarray, xt: jnp.ndarray,
 # Tiers 2 & 3: in-kernel decode (u8 codes / delta tiles)
 # --------------------------------------------------------------------------
 
-def build_blockdiag_codebook(codewords: np.ndarray) -> np.ndarray:
+def codebook_center(codewords: np.ndarray) -> np.ndarray:
+    """Global centering vector mu [D]: the concatenated per-subspace
+    centroid means.  Squared-L2 distances are translation-invariant,
+    so the scan runs on (x-mu, q-mu) — this kills the common-mode
+    magnitude that otherwise dominates bf16 rounding error on
+    uncentered (e.g. bvecs 0..255) data and breaks the exactness
+    certificate's margins."""
+    return np.asarray(codewords, np.float32).mean(axis=1).reshape(-1)
+
+
+def build_blockdiag_codebook(codewords: np.ndarray,
+                             center: Optional[np.ndarray] = None
+                             ) -> np.ndarray:
     """[M, K, Ds] f32 -> block-diagonal [M*K, D_pad] bf16 decode matrix:
-    ``onehot(codes) @ CWbd`` reconstructs the decoded vector.  D is
-    padded to a lane multiple of 128."""
+    ``onehot(codes) @ CWbd`` reconstructs the decoded vector (minus
+    ``center`` when given, see ``codebook_center``).  D is padded to a
+    lane multiple of 128."""
     M, K, Ds = codewords.shape
+    cw = np.asarray(codewords, np.float32)
+    if center is not None:
+        cw = cw - center.reshape(M, 1, Ds)
     D = M * Ds
     d_pad = -(-D // 128) * 128
     out = np.zeros((M * K, d_pad), np.float32)
     for m in range(M):
-        out[m * K:(m + 1) * K, m * Ds:(m + 1) * Ds] = codewords[m]
+        out[m * K:(m + 1) * K, m * Ds:(m + 1) * Ds] = cw[m]
     return out.astype(jnp.bfloat16)
 
 

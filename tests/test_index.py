@@ -98,3 +98,14 @@ def test_search_mass_delete(built, small_dataset):
     live = np.isfinite(d)
     assert set(i[live].ravel()) <= set(keep)
     assert (i[~live] == -1).all()
+
+
+def test_search_fused_engines(built, small_dataset):
+    """The fused round-2 tiers must be reachable through the facade and
+    agree with the plain path."""
+    d_ref, i_ref = built.search(small_dataset[:8], top_k=5)
+    for engine in ("fused", "fused_codes", "fused_compressed"):
+        idx = DeltaPQIndex(built.codewords, built.codes.copy(),
+                           engine=engine)
+        d, i = idx.search(small_dataset[:8], top_k=5)
+        np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)

@@ -19,17 +19,26 @@ sys.path.insert(0, ROOT)
 
 CHUNK = 1_000_000
 D, M, K, Ds = 128, 8, 256, 16
-N_CLUSTERS = 65536
+
+
+def n_clusters_for(n_total: int) -> int:
+    """Scale cluster count with N so clusters stay small (~16 rows):
+    otherwise cluster members share PQ codes and recall@10 is capped
+    by intra-cluster ties, not by the index."""
+    return int(min(max(65536, n_total // 16), 8_000_000))
 
 
 def chunk_vectors(chunk_id: int, n: int, centers: np.ndarray
                   ) -> np.ndarray:
     """Deterministic per-chunk generation (regenerable for the
-    groundtruth pass without storing 100M x 128 floats)."""
+    groundtruth pass without storing 100M x 128 floats).  Output is
+    uint8 (SIFT bvecs semantics) — 4x less host->device traffic; the
+    encode/groundtruth paths convert to f32 on device."""
     rng = np.random.default_rng(1000 + chunk_id)
     assign = rng.integers(0, len(centers), size=n)
-    return (centers[assign]
-            + rng.normal(size=(n, D)).astype(np.float32) * 0.3)
+    x = (centers[assign]
+         + rng.normal(size=(n, D)).astype(np.float32) * 6.0)
+    return np.clip(x + 128.0, 0, 255).astype(np.uint8)
 
 
 def main():
@@ -48,7 +57,9 @@ def main():
     from deltapq_tpu.profiling import host_mem_usage
 
     rng = np.random.default_rng(7)
-    centers = rng.normal(size=(N_CLUSTERS, D)).astype(np.float32) * 4.0
+    n_cl = n_clusters_for(n_total)
+    report["n_clusters"] = n_cl
+    centers = rng.normal(size=(n_cl, D)).astype(np.float32) * 40.0
     queries = chunk_vectors(999_999, n_q, centers)
     n_chunks = -(-n_total // CHUNK)
 
