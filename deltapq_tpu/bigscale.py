@@ -43,7 +43,7 @@ def encode_stream(codewords: np.ndarray,
 
     out: List[np.ndarray] = []
     for x in chunks:
-        out.append(pq_encode(codewords, x))
+        out.append(pq_encode(codewords, x, batch_size=262144))
     return np.concatenate(out, axis=0)
 
 

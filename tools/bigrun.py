@@ -113,7 +113,8 @@ def main():
           flush=True)
 
     t0 = time.time()
-    gt_d, gt_i = exact_topk(queries, chunks(), top_k=top_k)
+    gt_d, gt_i = exact_topk(queries, chunks(), top_k=top_k,
+                            tile_n=524288)
     report["t_groundtruth_s"] = round(time.time() - t0, 1)
     rec = recall_at_k(ids, gt_i, k=top_k)
     report["recall_at_10"] = round(float(rec), 4)
