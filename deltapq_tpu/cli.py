@@ -120,10 +120,13 @@ def _load_codes(args):
 def _load_queries(args):
     q = read_vecs(os.path.join(args.dataset, f"query.{args.ext}"),
                   ext=args.ext)
-    if len(q) > 10000:
-        q = q[:10000]
     if args.query_size > 0:
         q = q[:args.query_size]
+    elif len(q) > 10000:
+        # reference default query pool cap; announce the truncation
+        print(f"using first 10000 of {len(q)} queries "
+              f"(-query_size to override)")
+        q = q[:10000]
     return q
 
 
@@ -148,8 +151,10 @@ def task_learn(args, metrics: Metrics):
         learns = learns[:args.train_size]
     print(f"learn pool {len(learns)} vectors dim {learns.shape[1]}")
     with metrics.stage("kmeans"):
+        # reference termination: <=1000 iters, eps 1.0, 3 attempts
+        # (cv::kmeans TermCriteria, pq.cpp:149-151)
         cw = pq_learn(jax.random.PRNGKey(args.seed), learns, M=args.m,
-                      K=args.k, max_iters=100, n_init=3)
+                      K=args.k, max_iters=1000, tol=1.0, n_init=3)
     out = os.path.join(args.dataset,
                        codewords_filename(_pq_config(args, learns.shape[1])))
     write_codewords(out, cw)
@@ -219,9 +224,11 @@ def task_rand_sample(args, metrics: Metrics):
                      ext=args.ext)
     q = base[ids]
     with metrics.stage("query"):
-        d, i = query_plain(cw, q, codes, top_k=2)
-    # top-1 excluding the query row itself
-    nn = np.where(i[:, 0] == ids, i[:, 1], i[:, 0])
+        d, i = query_plain(cw, q, codes, top_k=3)
+    # top-1 excluding the query row itself (top-3 fetch: with ties the
+    # self row may rank 2nd or 3rd)
+    nn = np.where(i[:, 0] != ids, i[:, 0],
+                  np.where(i[:, 1] != ids, i[:, 1], i[:, 2]))
     hist = code_hamming_hist(codes[ids], codes[nn])
     for h, c in enumerate(hist):
         print(f"dist_hist[{h}] = {c}")

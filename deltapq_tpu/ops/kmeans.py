@@ -118,7 +118,7 @@ def _kmeans_single(key: jax.Array, x: jnp.ndarray, K: int,
     return centers, labels, distortion
 
 
-def kmeans(key: jax.Array, x: jnp.ndarray, K: int, max_iters: int = 100,
+def kmeans(key: jax.Array, x: jnp.ndarray, K: int, max_iters: int = 1000,
             tol: float = 1.0, n_init: int = 3):
     """k-means with ``n_init`` parallel restarts; returns the best
     (centers [K,d], labels [n], distortion) by total distortion.
@@ -134,7 +134,7 @@ def kmeans(key: jax.Array, x: jnp.ndarray, K: int, max_iters: int = 100,
 
 
 def pq_learn(key: jax.Array, vecs: np.ndarray, M: int, K: int,
-             max_iters: int = 100, tol: float = 1.0, n_init: int = 3,
+             max_iters: int = 1000, tol: float = 1.0, n_init: int = 3,
              device: str = "auto") -> np.ndarray:
     """Learn a PQ codebook: returns codewords f32 [M, K, Ds].
 
