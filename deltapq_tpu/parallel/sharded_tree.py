@@ -53,26 +53,53 @@ class ShardedDeltaPack:
     K: int
 
 
+def _build_shard_tree(args):
+    part, K, codewords, tree_kwargs = args
+    res = find_edges_by_diff(part, K=K, **tree_kwargs)
+    return build_layout(part, res.edges, res.root_id, K=K,
+                        codewords=codewords)
+
+
 def build_sharded_trees(codes: np.ndarray, K: int, n_shards: int,
-                        codewords: np.ndarray, **tree_kwargs
+                        codewords: np.ndarray, workers: int = 0,
+                        **tree_kwargs
                         ) -> Tuple[List[DeltaTree], np.ndarray]:
     """Split rows into contiguous partitions and build one DeltaTree per
-    partition (independent builds — the multi-host build path).
+    partition (independent builds — the multi-host build path),
+    optionally over a spawn process pool (``workers`` > 1; 0 = serial).
 
     Returns (trees, true_sizes): a shard with no rows gets a 1-row
-    dummy tree whose true size is 0 (its results are masked out)."""
+    dummy tree whose true size is 0 (its results are masked out).
+
+    NOTE on padding: ``build_sharded_pack`` pads every shard's
+    per-level arrays to the global per-level max, so one deep/skewed
+    shard inflates all shards' memory by up to
+    ``max_level_size / mean_level_size``; the contiguous-partition
+    split after a lexicographic sort keeps shards statistically
+    balanced, and the pack records ``level_skew`` so callers can see
+    the inflation.  (At O(100+) shards prefer the fused tile engines,
+    which have no cross-shard padding.)"""
     n = len(codes)
     per = -(-n // n_shards)
-    trees = []
+    jobs = []
     sizes = np.zeros(n_shards, np.int32)
     for s in range(n_shards):
         part = codes[s * per:(s + 1) * per]
         sizes[s] = len(part)
         if len(part) == 0:
             part = codes[:1]  # degenerate shard: dummy row, size 0
-        res = find_edges_by_diff(part, K=K, **tree_kwargs)
-        trees.append(build_layout(part, res.edges, res.root_id, K=K,
-                                  codewords=codewords))
+        jobs.append((np.ascontiguousarray(part), K, codewords,
+                     tree_kwargs))
+    if workers and workers > 1 and n_shards > 1:
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(
+                max_workers=workers,
+                mp_context=mp.get_context("spawn")) as ex:
+            trees = list(ex.map(_build_shard_tree, jobs))
+    else:
+        trees = [_build_shard_tree(j) for j in jobs]
     return trees, sizes
 
 

@@ -114,3 +114,18 @@ def test_fused_topk_larger_than_one_subtile(pq_setup):
     eng = FusedDecodedEngine(cw, codes)
     d, i = eng.query(queries, top_k=100)
     np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)
+
+
+def test_fused_decoded_gist_shape():
+    """GIST1M-config shapes (M=16, D=960, top-100) through the fused
+    decoded tier: D pads 960->1024 lanes, rerank loops 16 subspaces."""
+    rng = np.random.default_rng(8)
+    M, K, Ds, n, B, top_k = 16, 32, 60, 4000, 16, 100
+    cw = rng.normal(size=(M, K, Ds)).astype(np.float32)
+    codes = rng.integers(0, K, size=(n, M)).astype(np.uint8)
+    queries = rng.normal(size=(B, M * Ds)).astype(np.float32)
+    d_ref, i_ref = query_plain(cw, queries, codes, top_k=top_k,
+                               engine="xla")
+    eng = FusedDecodedEngine(cw, codes)
+    d, i = eng.query(queries, top_k=top_k)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)
