@@ -130,3 +130,28 @@ def test_pipelined_query_matches_sharded(small_dataset):
                            batch_size=32)
     np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)
     assert float(np.mean(i == i_ref)) > 0.95  # ties only
+
+
+def test_sharded_fused_compressed(small_dataset):
+    """The sharded fused compressed engine (delta tiles sharded on
+    tile boundaries + all-gather merge) matches the single-device
+    fused compressed engine."""
+    from deltapq_tpu.ops.encode import pq_encode
+    from deltapq_tpu.ops.kmeans import pq_learn
+    from deltapq_tpu.ops.fused import FusedCompressedEngine
+    from deltapq_tpu.parallel.fused_sharded import \
+        ShardedCompressedEngine
+    from deltapq_tpu.parallel.mesh import make_mesh
+
+    cw = pq_learn(jax.random.key(0), small_dataset, 8, 16,
+                  max_iters=10)
+    codes = np.asarray(pq_encode(cw, small_dataset))
+    order = np.lexsort(codes.T[::-1])
+    queries = small_dataset[:32] + 0.02
+    ref = FusedCompressedEngine(cw, codes[order], row_to_db=order)
+    d_ref, i_ref = ref.query(queries, top_k=5)
+    mesh = make_mesh(4)
+    eng = ShardedCompressedEngine(cw, codes[order], mesh,
+                                  row_to_db=order)
+    d, i = eng.query(queries, top_k=5)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)
