@@ -425,6 +425,31 @@ def task_query_compressed(args, metrics: Metrics):
         if args.debug:
             print(i[0, 0], d[0, 0])
         return d, i
+    import jax
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if args.engine in ("auto", "fused_compressed") and on_tpu:
+        # production TPU path: fused delta-tile engine (in-kernel
+        # decode; the level-wise traversal remains the CPU/debug path)
+        from .ops.fused import FusedCompressedEngine
+
+        with metrics.stage("pack"):
+            eng = FusedCompressedEngine.from_tree(cw, tree)
+        t0 = time.perf_counter()
+        with metrics.stage("query"):
+            d = np.empty((len(q), args.topk), np.float32)
+            i = np.empty((len(q), args.topk), np.int64)
+            for off in range(0, len(q), args.batch):
+                db, ib = eng.query(q[off:off + args.batch],
+                                   top_k=args.topk)
+                d[off:off + len(db)] = db
+                i[off:off + len(ib)] = ib
+        dt = time.perf_counter() - t0
+        print(f"{dt / len(q) * 1000:.4f} [msec/query] "
+              f"({eng.bytes_per_vec():.2f} B/vec resident)")
+        if args.debug:
+            print(i[0, 0], d[0, 0])
+        return d, i
     with metrics.stage("pack"):
         pack = build_delta_pack(tree)
     t0 = time.perf_counter()
