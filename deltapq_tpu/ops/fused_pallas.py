@@ -421,8 +421,17 @@ def select_rerank(mins: jnp.ndarray, q2: jnp.ndarray, table: jnp.ndarray,
             "bsk,bk->bs", onehot, tf[:, m * K:(m + 1) * K],
             preferred_element_type=jnp.float32)
     exact = jnp.where(rows < n_valid, exact, jnp.inf)
-    negd, pos = jax.lax.top_k(-exact, top_k)
+    # top_k can exceed the candidate pool when it approaches N (tiny
+    # databases): select what exists and pad with (+inf, -1)
+    k_eff = min(top_k, S)
+    negd, pos = jax.lax.top_k(-exact, k_eff)
     d = -negd
     out_rows = jnp.take_along_axis(rows, pos, axis=1)
-    ok = (d[:, top_k - 1] - q2) <= fence - _fence_margin(fence, q2)
+    if k_eff < top_k:
+        pad = top_k - k_eff
+        d = jnp.concatenate(
+            [d, jnp.full((B, pad), jnp.inf, d.dtype)], axis=1)
+        out_rows = jnp.concatenate(
+            [out_rows, jnp.full((B, pad), -1, out_rows.dtype)], axis=1)
+    ok = (d[:, k_eff - 1] - q2) <= fence - _fence_margin(fence, q2)
     return d, out_rows, ok

@@ -129,3 +129,22 @@ def test_fused_decoded_gist_shape():
     eng = FusedDecodedEngine(cw, codes)
     d, i = eng.query(queries, top_k=top_k)
     np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)
+
+
+def test_fused_topk_near_database_size():
+    """top_k close to (or beyond the candidate pool of) a tiny database
+    must pad with (+inf, -1) instead of failing."""
+    rng = np.random.default_rng(9)
+    M, K, Ds, n = 8, 16, 4, 700
+    cw = rng.normal(size=(M, K, Ds)).astype(np.float32)
+    codes = rng.integers(0, K, size=(n, M)).astype(np.uint8)
+    queries = rng.normal(size=(4, M * Ds)).astype(np.float32)
+    eng = FusedDecodedEngine(cw, codes)
+    d, i = eng.query(queries, top_k=680)
+    assert d.shape == (4, 680)
+    valid = np.isfinite(d)
+    d_ref, i_ref = query_plain(cw, queries, codes, top_k=680,
+                               engine="xla")
+    np.testing.assert_allclose(d[valid],
+                               np.asarray(d_ref)[valid], rtol=1e-5,
+                               atol=1e-4)
