@@ -81,27 +81,33 @@ def _mask_invalid(d: jnp.ndarray, n_valid_ref) -> jnp.ndarray:
 # Tier 1: decoded bf16 cache
 # --------------------------------------------------------------------------
 
-def pack_xhat_tiles(xhat: np.ndarray) -> np.ndarray:
-    """[N, D] bf16 -> [nT, TILE, D] bf16 (zero rows pad N to TILE)."""
+def pack_xhat_tiles(xhat: np.ndarray, tile: int = TILE) -> np.ndarray:
+    """[N, D] bf16 -> [nT, tile, D] bf16 (zero rows pad N to tile)."""
     n, d = xhat.shape
-    n_pad = -(-n // TILE) * TILE
+    n_pad = -(-n // tile) * tile
     if n_pad != n:
         xhat = np.concatenate(
             [xhat, np.zeros((n_pad - n, d), xhat.dtype)], axis=0)
-    return np.ascontiguousarray(xhat.reshape(n_pad // TILE, TILE, d))
+    return np.ascontiguousarray(xhat.reshape(n_pad // tile, tile, d))
 
 
-def _decoded_mins_kernel(q_ref, n_valid_ref, xt_ref, out_ref):
-    """q [D, B] bf16; xt [1, TILE, D] bf16; out [TILE//SUB, B] f32.
+def _decoded_mins_kernel(q_ref, n_valid_ref, xt_ref, out_ref, *,
+                         tile: int):
+    """q [D, B] bf16; xt [1, tile, D] bf16; out [tile//SUB, B] f32.
     precomp = ||xhat||^2 is recomputed in-kernel (bf16-rounded xhat:
     ~2^-8 relative — covered by the rerank certificate margin)."""
     xhat = xt_ref[0]
     cross = jnp.dot(xhat, q_ref[:],
-                    preferred_element_type=jnp.float32)     # [TILE, B]
+                    preferred_element_type=jnp.float32)     # [tile, B]
     xf = xhat.astype(jnp.float32)
-    pre = jnp.sum(xf * xf, axis=1, keepdims=True)           # [TILE, 1]
-    d = _mask_invalid(pre - 2.0 * cross, n_valid_ref)
-    _subtile_mins(d, out_ref)
+    pre = jnp.sum(xf * xf, axis=1, keepdims=True)           # [tile, 1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    base = pl.program_id(0) * tile
+    d = jnp.where(base + rows < n_valid_ref[0, 0],
+                  pre - 2.0 * cross, jnp.inf)
+    for g in range(tile // SUB):
+        out_ref[g:g + 1, :] = jnp.min(d[g * SUB:(g + 1) * SUB, :],
+                                      axis=0, keepdims=True)
 
 
 @jax.jit
@@ -110,29 +116,29 @@ def fused_decoded_mins(q: jnp.ndarray, xt: jnp.ndarray,
     """Subtile minima [N_pad/SUB, B] of the (q2-less) distances
     ``precomp - 2 cross`` over the whole database.
 
-    q [D, B] bf16 (note: query-major transposed); xt [nT, TILE, D]
-    bf16; padding rows map to +inf.
+    q [D, B] bf16 (note: query-major transposed); xt [nT, tile, D]
+    bf16 (any tile multiple of SUB); padding rows map to +inf.
     """
     D, B = q.shape
-    nt = xt.shape[0]
-    ns = TILE // SUB
+    nt, tile = xt.shape[0], xt.shape[1]
+    ns = tile // SUB
     return pl.pallas_call(
-        _decoded_mins_kernel,
+        functools.partial(_decoded_mins_kernel, tile=tile),
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((D, B), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, TILE, D), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, tile, D), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((ns, B), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nt * ns, B), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * nt * TILE * D * B,
-            bytes_accessed=nt * TILE * D * 2 + B * D * 2
+            flops=2 * nt * tile * D * B,
+            bytes_accessed=nt * tile * D * 2 + B * D * 2
             + nt * ns * B * 4,
             transcendentals=0),
         interpret=_interpret(),
