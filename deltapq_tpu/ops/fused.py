@@ -251,3 +251,40 @@ class FusedCompressedEngine:
             rows = jnp.take(self.row_to_db,
                             jnp.clip(rows, 0, self.n_valid - 1))
         return np.asarray(d[:b]), np.asarray(rows[:b])
+
+    def save(self, path: str) -> None:
+        """Persist the delta tiles + mapping (staged-artifact model,
+        SURVEY §5): ~3 B/vec on disk, load is upload-only."""
+        np.savez(path,
+                 row_data=self.tiles.row_data, ovf=self.tiles.ovf,
+                 n_valid=self.n_valid, S=self.tiles.S,
+                 Cap=self.tiles.Cap, M=self.M,
+                 codewords=np.asarray(self.codewords),
+                 row_to_db=(np.asarray(self.row_to_db)
+                            if self.row_to_db is not None
+                            else np.zeros(0, np.int32)))
+
+    @classmethod
+    def load(cls, path: str) -> "FusedCompressedEngine":
+        z = np.load(path, allow_pickle=False)
+        self = cls.__new__(cls)
+        codewords = np.asarray(z["codewords"], np.float32)
+        M, K, Ds = codewords.shape
+        self.codewords = jnp.asarray(codewords)
+        self.M, self.K = M, K
+        self.D = M * Ds
+        self.d_pad = -(-self.D // 128) * 128
+        self.tiles = DeltaTiles(
+            row_data=z["row_data"], ovf=z["ovf"],
+            n_valid=int(z["n_valid"]), M=int(z["M"]), S=int(z["S"]),
+            Cap=int(z["Cap"]))
+        self.n_valid = self.tiles.n_valid
+        self.row_data = jnp.asarray(self.tiles.row_data)
+        self.ovf = jnp.asarray(self.tiles.ovf)
+        self.mu = np.zeros(self.d_pad, np.float32)
+        self.mu[:self.D] = fp.codebook_center(codewords)
+        self.cwbd = jnp.asarray(fp.build_blockdiag_codebook(
+            codewords, center=self.mu[:self.D]))
+        rtd = z["row_to_db"]
+        self.row_to_db = jnp.asarray(rtd) if len(rtd) else None
+        return self

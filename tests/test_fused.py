@@ -148,3 +148,15 @@ def test_fused_topk_near_database_size():
     np.testing.assert_allclose(d[valid],
                                np.asarray(d_ref)[valid], rtol=1e-5,
                                atol=1e-4)
+
+
+def test_fused_compressed_save_load(pq_setup, tmp_path):
+    cw, codes, queries, d_ref, i_ref = pq_setup
+    order = np.lexsort(np.asarray(codes).T[::-1])
+    eng = FusedCompressedEngine(cw, np.asarray(codes)[order],
+                                row_to_db=order)
+    p = str(tmp_path / "ct.npz")
+    eng.save(p)
+    eng2 = FusedCompressedEngine.load(p)
+    d, i = eng2.query(queries, top_k=10)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)
