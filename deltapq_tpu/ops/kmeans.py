@@ -36,33 +36,73 @@ def _pairwise_sq_dists(x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     return x2 - 2.0 * cross + c2[None, :]
 
 
-def _kmeanspp_init(key: jax.Array, x: jnp.ndarray, K: int) -> jnp.ndarray:
-    """kmeans++ seeding: first center uniform, then each next center is
-    drawn with probability proportional to squared distance to the
-    nearest already-chosen center."""
+def _kmeanspp_init(key: jax.Array, x: jnp.ndarray, K: int,
+                   chunk: int = 0) -> jnp.ndarray:
+    """kmeans++ seeding: first center uniform, then next centers drawn
+    with probability proportional to squared distance to the nearest
+    already-chosen center.
+
+    chunk > 1 draws that many centers per scan step from the SAME
+    min-distance distribution (k-means||-style oversampled seeding,
+    via Gumbel top-k for distinct draws) — K/chunk scan steps instead
+    of K, which is what makes the program compile and run on the
+    remote-TPU backend (the 255-step scan stalls its compiler).  The
+    within-chunk independence is the standard k-means|| approximation;
+    Lloyd + restarts absorb the seeding quality difference.
+    chunk == 0 picks a default (16 on TPU-ish backends, 1 = exact
+    sequential kmeans++ otherwise).
+    """
     n, d = x.shape
+    if chunk == 0:
+        chunk = 16 if jax.default_backend() in ("tpu", "axon") else 1
     k0, key = jax.random.split(key)
     first = jax.random.randint(k0, (), 0, n)
     centers0 = jnp.zeros((K, d), x.dtype).at[0].set(x[first])
     min_d2 = jnp.sum((x - x[first]) ** 2, axis=1)
 
-    def step(carry, ki):
-        centers, min_d2 = carry
-        i, k = ki
-        # categorical draw proportional to min_d2 (guard all-zero)
-        total = jnp.sum(min_d2)
-        logits = jnp.where(total > 0, jnp.log(jnp.maximum(min_d2, 1e-30)),
-                           jnp.zeros_like(min_d2))
-        idx = jax.random.categorical(k, logits)
-        c_new = x[idx]
-        centers = centers.at[i].set(c_new)
-        d2_new = jnp.sum((x - c_new) ** 2, axis=1)
-        return (centers, jnp.minimum(min_d2, d2_new)), None
+    if chunk <= 1:
+        def step(carry, ki):
+            centers, min_d2 = carry
+            i, k = ki
+            total = jnp.sum(min_d2)
+            logits = jnp.where(total > 0,
+                               jnp.log(jnp.maximum(min_d2, 1e-30)),
+                               jnp.zeros_like(min_d2))
+            idx = jax.random.categorical(k, logits)
+            c_new = x[idx]
+            centers = centers.at[i].set(c_new)
+            d2_new = jnp.sum((x - c_new) ** 2, axis=1)
+            return (centers, jnp.minimum(min_d2, d2_new)), None
 
-    keys = jax.random.split(key, K - 1)
-    (centers, _), _ = jax.lax.scan(
-        step, (centers0, min_d2), (jnp.arange(1, K), keys))
-    return centers
+        keys = jax.random.split(key, K - 1)
+        (centers, _), _ = jax.lax.scan(
+            step, (centers0, min_d2), (jnp.arange(1, K), keys))
+        return centers
+
+    n_steps = -(-(K - 1) // chunk)
+
+    def step(carry, ki):
+        centers, min_d2, count = carry
+        k = ki
+        total = jnp.sum(min_d2)
+        logits = jnp.where(total > 0,
+                           jnp.log(jnp.maximum(min_d2, 1e-30)),
+                           jnp.zeros_like(min_d2))
+        # Gumbel top-chunk = chunk distinct categorical draws
+        g = jax.random.gumbel(k, (n,))
+        _, idx = jax.lax.top_k(logits + g, chunk)
+        new = x[idx]                                   # [chunk, d]
+        centers = jax.lax.dynamic_update_slice(
+            centers, new.astype(centers.dtype), (count, 0))
+        d2_new = jnp.min(_pairwise_sq_dists(x, new), axis=1)
+        return (centers, jnp.minimum(min_d2, d2_new), count + chunk), None
+
+    keys = jax.random.split(key, n_steps)
+    (centers, _, _), _ = jax.lax.scan(
+        step, (centers0, min_d2, jnp.int32(1)), keys)
+    # count may overshoot K; dynamic_update_slice clamps the write
+    # start so the final partial chunk overlaps the tail instead
+    return centers[:K]
 
 
 def _update_centers(x: jnp.ndarray, labels: jnp.ndarray, K: int
