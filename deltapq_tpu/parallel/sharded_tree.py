@@ -51,6 +51,9 @@ class ShardedDeltaPack:
     lm_size: int              # 1 + sum of padded level sizes
     M: int
     K: int
+    level_skew: float = 1.0   # max/mean padded-level inflation across
+                              # shards (memory cost of the [S, max]
+                              # padding; ~1 = balanced)
 
 
 def _build_shard_tree(args):
@@ -136,6 +139,12 @@ def build_sharded_pack(trees: List[DeltaTree], row_bases: np.ndarray,
         levels.append((parent, seg, midx_to, midx_from))
         level_nd.append(nd_max)
 
+    # padding skew: total padded cells vs total real cells
+    real = sum(len(p.levels[d].parent_local)
+               for p in packs for d in range(len(p.levels)))
+    padded = S * sum(level_nd)
+    skew = padded / max(real, 1)
+
     # per-shard db_to_lm remapped into the PADDED level-major space:
     # shard-local level offsets differ from the padded ones
     lm_size = 1 + sum(level_nd)
@@ -157,7 +166,8 @@ def build_sharded_pack(trees: List[DeltaTree], row_bases: np.ndarray,
         n_local[s] = p.n if true_sizes is None else int(true_sizes[s])
     root_idx = np.stack([np.arange(M, dtype=np.int32) * K + p.root_code
                          for p in packs])
-    return ShardedDeltaPack(levels=levels, root_idx=root_idx,
+    return ShardedDeltaPack(level_skew=float(skew),
+                            levels=levels, root_idx=root_idx,
                             db_to_lm=db_to_lm, n_local=n_local,
                             row_base=np.asarray(row_bases, np.int32),
                             n_pad=n_pad, lm_size=lm_size, M=M, K=K)
