@@ -102,3 +102,4 @@ def diff_index_decode_native(stream: np.ndarray, n_codes: int, M: int
     if r < 0:
         raise ValueError("diff_index_decode failed")
     return out
+

@@ -187,6 +187,8 @@ def find_edges_by_diff(codes: np.ndarray, K: int,
             ids = active[act_pos]
             keys = pack_keys(codes[ids], kept, log_k)
             if keys.ndim == 1:
+                # np.argsort(kind="stable") on ints is LSD radix
+                # already — measured at parity with a native radix
                 order = np.argsort(keys, kind="stable")
             else:
                 order = np.lexsort((keys[:, 1], keys[:, 0]))
