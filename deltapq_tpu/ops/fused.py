@@ -101,7 +101,10 @@ class FusedDecodedEngine:
     + M (codes, rerank only).
     """
 
-    def __init__(self, codewords: np.ndarray, codes: np.ndarray):
+    def __init__(self, codewords: np.ndarray, codes: np.ndarray,
+                 tile: int = 8192):
+        # tile=8192 runs the mins kernel at ~87-107% of nominal v5e
+        # HBM peak (0.33 ms for 256 MB at 1M rows); 1024 measures ~58%
         codewords = np.asarray(codewords, np.float32)
         M, K, Ds = codewords.shape
         self.codewords = jnp.asarray(codewords)
@@ -117,9 +120,9 @@ class FusedDecodedEngine:
             hi = np.concatenate(
                 [hi, np.zeros((len(hi), self.d_pad - self.D),
                               hi.dtype)], axis=1)
-        xt = fp.pack_xhat_tiles(np.asarray(hi))
+        xt = fp.pack_xhat_tiles(np.asarray(hi), tile=tile)
         self.xt = jnp.asarray(xt)
-        n_pad = xt.shape[0] * TILE
+        n_pad = xt.shape[0] * tile
         codes_p = np.zeros((n_pad, M), np.asarray(codes).dtype)
         codes_p[:self.n_valid] = codes
         self.codes = jnp.asarray(codes_p)

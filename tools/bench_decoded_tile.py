@@ -5,7 +5,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
 from deltapq_tpu.ops import fused_pallas as fp
 
-N, B, D = 1_048_576, 128, 128
+N, B, D = 1_048_576, int(os.environ.get('BB', 128)), 128
 rng = np.random.default_rng(0)
 xh = rng.normal(size=(N, D)).astype(jnp.bfloat16)
 q = jnp.asarray(rng.normal(size=(D, B)).astype(np.float32).astype(jnp.bfloat16))
@@ -20,12 +20,12 @@ def measure(fn, iters=(2, 22), repeats=3):
         res[it] = min(ts)
     return (res[iters[1]] - res[iters[0]]) / (iters[1] - iters[0])
 
-for tile in (1024, 2048, 4096):
+for tile in (1024, 4096, 8192):
     xt = jnp.asarray(fp.pack_xhat_tiles(np.asarray(xh), tile=tile))
     @functools.partial(jax.jit, static_argnames=("iters",))
     def loop(qf, xt, salt, iters):
         def body(i, acc):
-            qq = (qf.astype(jnp.float32) + (salt + i.astype(jnp.float32)) * 1e-4).astype(jnp.bfloat16)
+            qq = (qf.astype(jnp.float32) * (1.0 + (salt + i.astype(jnp.float32)) * 0.01)).astype(jnp.bfloat16)
             mins = fp.fused_decoded_mins(qq, xt, jnp.int32(N))
             return acc + jnp.sum(mins[:8])
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
