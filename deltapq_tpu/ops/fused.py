@@ -144,12 +144,21 @@ class FusedDecodedEngine:
         return np.asarray(d[:b]), np.asarray(rows[:b])
 
 
+def _mins_query_args(qc: np.ndarray, precision: str, scale):
+    """Centered queries -> kernel q operand ([D, B], bf16 or int8)."""
+    if precision == "int8":
+        qq = np.clip(np.rint(qc / scale), -127, 127).astype(np.int8)
+        return jnp.asarray(qq.T)
+    return jnp.asarray(qc.astype(jnp.bfloat16).T)
+
+
 class FusedCodesEngine:
     """u8-codes tier: M bytes/vec resident; one-hot decode + matmul in
     the kernel."""
 
     def __init__(self, codewords: np.ndarray, codes: np.ndarray,
-                 order: Optional[np.ndarray] = None):
+                 order: Optional[np.ndarray] = None,
+                 precision: str = "bf16"):
         codewords = np.asarray(codewords, np.float32)
         M, K, Ds = codewords.shape
         self.codewords = jnp.asarray(codewords)
@@ -170,8 +179,15 @@ class FusedCodesEngine:
         self.codes = jnp.asarray(codes_p)
         self.mu = np.zeros(self.d_pad, np.float32)
         self.mu[:self.D] = fp.codebook_center(codewords)
-        self.cwbd = jnp.asarray(fp.build_blockdiag_codebook(
-            codewords, center=self.mu[:self.D]))
+        self.precision = precision
+        if precision == "int8":
+            cwq, self.scale = fp.quantize_blockdiag_int8(
+                codewords, center=self.mu[:self.D])
+            self.cwbd = jnp.asarray(cwq)
+        else:
+            self.scale = None
+            self.cwbd = jnp.asarray(fp.build_blockdiag_codebook(
+                codewords, center=self.mu[:self.D]))
 
     def query(self, queries: np.ndarray, top_k: int = 10,
               n_sub: Optional[int] = None
@@ -179,11 +195,14 @@ class FusedCodesEngine:
         q, b = _pad_queries(queries, self.d_pad)
         qj = jnp.asarray(q)
         table = adc_table(self.codewords, qj[:, :self.D])
-        qc = jnp.asarray(q - self.mu[None, :])  # centered scan domain
+        qc_np = q - self.mu[None, :]            # centered scan domain
+        qc = jnp.asarray(qc_np)
         q2 = jnp.sum(qc * qc, axis=1)
         mins, codes_echo = fp.fused_codes_mins(
-            qc.astype(jnp.bfloat16).T, self.cwbd, self.codes,
-            jnp.int32(self.n_valid))
+            _mins_query_args(qc_np, self.precision, self.scale),
+            self.cwbd, self.codes, jnp.int32(self.n_valid))
+        if self.precision == "int8":
+            mins = mins * jnp.float32(self.scale * self.scale)
         d, rows, frac = _select_with_escalation(
             mins.T, q2, table, codes_echo, jnp.int32(self.n_valid),
             top_k, n_sub)
@@ -204,7 +223,7 @@ class FusedCompressedEngine:
 
     def __init__(self, codewords: np.ndarray, codes_scan: np.ndarray,
                  row_to_db: Optional[np.ndarray] = None,
-                 S: Optional[int] = None):
+                 S: Optional[int] = None, precision: str = "bf16"):
         codewords = np.asarray(codewords, np.float32)
         M, K, Ds = codewords.shape
         self.codewords = jnp.asarray(codewords)
@@ -218,8 +237,15 @@ class FusedCompressedEngine:
         self.ovf = jnp.asarray(self.tiles.ovf)
         self.mu = np.zeros(self.d_pad, np.float32)
         self.mu[:self.D] = fp.codebook_center(codewords)
-        self.cwbd = jnp.asarray(fp.build_blockdiag_codebook(
-            codewords, center=self.mu[:self.D]))
+        self.precision = precision
+        if precision == "int8":
+            cwq, self.scale = fp.quantize_blockdiag_int8(
+                codewords, center=self.mu[:self.D])
+            self.cwbd = jnp.asarray(cwq)
+        else:
+            self.scale = None
+            self.cwbd = jnp.asarray(fp.build_blockdiag_codebook(
+                codewords, center=self.mu[:self.D]))
         self.row_to_db = (jnp.asarray(
             np.asarray(row_to_db).astype(np.int32))
             if row_to_db is not None else None)
@@ -241,11 +267,15 @@ class FusedCompressedEngine:
         q, b = _pad_queries(queries, self.d_pad)
         qj = jnp.asarray(q)
         table = adc_table(self.codewords, qj[:, :self.D])
-        qc = jnp.asarray(q - self.mu[None, :])  # centered scan domain
+        qc_np = q - self.mu[None, :]            # centered scan domain
+        qc = jnp.asarray(qc_np)
         q2 = jnp.sum(qc * qc, axis=1)
         mins, codes_echo = fp.fused_delta_mins(
-            qc.astype(jnp.bfloat16).T, self.cwbd, self.row_data,
-            self.ovf, jnp.int32(self.n_valid), self.tiles.S)
+            _mins_query_args(qc_np, self.precision, self.scale),
+            self.cwbd, self.row_data, self.ovf,
+            jnp.int32(self.n_valid), self.tiles.S)
+        if self.precision == "int8":
+            mins = mins * jnp.float32(self.scale * self.scale)
         d, rows, frac = _select_with_escalation(
             mins.T, q2, table, codes_echo, jnp.int32(self.n_valid),
             top_k, n_sub)
@@ -286,6 +316,8 @@ class FusedCompressedEngine:
         self.ovf = jnp.asarray(self.tiles.ovf)
         self.mu = np.zeros(self.d_pad, np.float32)
         self.mu[:self.D] = fp.codebook_center(codewords)
+        self.precision = "bf16"
+        self.scale = None
         self.cwbd = jnp.asarray(fp.build_blockdiag_codebook(
             codewords, center=self.mu[:self.D]))
         rtd = z["row_to_db"]

@@ -181,20 +181,40 @@ def build_blockdiag_codebook(codewords: np.ndarray,
 def _scan_tail(H, q_ref, cwbd_ref, n_valid_ref, out_ref, codes_out_ref,
                oh_ref):
     """Shared tail: codes H [TILE, M] i32 -> one-hot decode -> matmul ->
-    subtile mins.  q [D, B] bf16; cwbd [M*K, D] bf16; oh scratch
-    [TILE, M*K] bf16."""
+    subtile mins.
+
+    bf16 mode: q [D, B] bf16; cwbd [M*K, D] bf16; oh scratch bf16.
+    int8 mode (detected from cwbd dtype): quantized codebook/query,
+    both matmuls run at the MXU's 2x int8 rate, distances come out in
+    the scale^2 domain (the caller rescales; shortlist-only precision,
+    exactness restored by the rerank as usual).
+    """
     M = H.shape[1]
     MK = cwbd_ref.shape[0]
     K = MK // M
+    int8_mode = cwbd_ref.dtype == jnp.int8
+    oh_dtype = jnp.int8 if int8_mode else jnp.bfloat16
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (TILE, K), 1)
     for m in range(M):
         oh_ref[:, m * K:(m + 1) * K] = (
-            H[:, m:m + 1] == iota_k).astype(jnp.bfloat16)
-    xhat = jnp.dot(oh_ref[:], cwbd_ref[:],
-                   preferred_element_type=jnp.float32)     # [TILE, D]
-    pre = jnp.sum(xhat * xhat, axis=1, keepdims=True)      # [TILE, 1]
-    cross = jnp.dot(xhat.astype(jnp.bfloat16), q_ref[:],
-                    preferred_element_type=jnp.float32)    # [TILE, B]
+            H[:, m:m + 1] == iota_k).astype(oh_dtype)
+    if int8_mode:
+        xq = jnp.dot(oh_ref[:], cwbd_ref[:],
+                     preferred_element_type=jnp.int32)     # [TILE, D]
+        # block-diagonal selection: every entry is one int8 codebook
+        # value, so the narrowing cast is exact
+        x8 = xq.astype(jnp.int8)
+        pre = jnp.sum(xq * xq, axis=1,
+                      keepdims=True).astype(jnp.float32)   # [TILE, 1]
+        cross = jnp.dot(x8, q_ref[:],
+                        preferred_element_type=jnp.int32
+                        ).astype(jnp.float32)              # [TILE, B]
+    else:
+        xhat = jnp.dot(oh_ref[:], cwbd_ref[:],
+                       preferred_element_type=jnp.float32)  # [TILE, D]
+        pre = jnp.sum(xhat * xhat, axis=1, keepdims=True)
+        cross = jnp.dot(xhat.astype(jnp.bfloat16), q_ref[:],
+                        preferred_element_type=jnp.float32)
     d = _mask_invalid(pre - 2.0 * cross, n_valid_ref)
     _subtile_mins(d, out_ref)
     codes_out_ref[:] = H.astype(jnp.uint8)
@@ -274,6 +294,21 @@ def _delta_mins_kernel(q_ref, cwbd_ref, n_valid_ref, rd_ref, ovf_ref,
                codes_out_ref, oh_ref)
 
 
+def quantize_blockdiag_int8(cwbd_bf16_or_cw, center=None):
+    """Codebook -> (int8 block-diagonal decode matrix, scale).  Values
+    quantize symmetrically at scale = max|c|/127; the int8 tiers use
+    it for 2x-rate MXU decode+distance with shortlist-only precision."""
+    if cwbd_bf16_or_cw.ndim == 3:
+        cwbd = np.asarray(
+            build_blockdiag_codebook(cwbd_bf16_or_cw, center=center),
+            np.float32)
+    else:
+        cwbd = np.asarray(cwbd_bf16_or_cw, np.float32)
+    scale = max(float(np.abs(cwbd).max()) / 127.0, 1e-12)
+    q = np.clip(np.rint(cwbd / scale), -127, 127).astype(np.int8)
+    return q, scale
+
+
 def _mins_call(kernel, data_specs, data_args, q, cwbd, n_valid, nt, M,
                extra_flops=0):
     D, B = q.shape
@@ -301,7 +336,9 @@ def _mins_call(kernel, data_specs, data_args, q, cwbd, n_valid, nt, M,
             jax.ShapeDtypeStruct((nt * ns, B), jnp.float32),
             jax.ShapeDtypeStruct((nt * TILE, M), jnp.uint8),
         ],
-        scratch_shapes=[pltpu.VMEM((TILE, MK), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM(
+            (TILE, MK),
+            jnp.int8 if cwbd.dtype == jnp.int8 else jnp.bfloat16)],
         cost_estimate=pl.CostEstimate(
             flops=2 * nt * TILE * (MK + B) * D + extra_flops,
             bytes_accessed=nt * TILE * M + MK * D * 2 + D * B * 2

@@ -160,3 +160,18 @@ def test_fused_compressed_save_load(pq_setup, tmp_path):
     eng2 = FusedCompressedEngine.load(p)
     d, i = eng2.query(queries, top_k=10)
     np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)
+
+
+def test_fused_int8_precision_modes(pq_setup):
+    """int8 tiers: quantized shortlist + exact rerank must still
+    produce exact distances (escalation absorbs quantization error)."""
+    cw, codes, queries, d_ref, i_ref = pq_setup
+    for cls, kw in ((FusedCodesEngine, {}),):
+        eng = cls(cw, codes, precision="int8", **kw)
+        d, i = eng.query(queries, top_k=10)
+        np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)
+    order = np.lexsort(np.asarray(codes).T[::-1])
+    eng = FusedCompressedEngine(cw, np.asarray(codes)[order],
+                                row_to_db=order, precision="int8")
+    d, i = eng.query(queries, top_k=10)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)
