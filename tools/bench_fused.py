@@ -145,6 +145,38 @@ def main():
             qp, eng.cwbd, eng.codes, jnp.float32(s), it))
         results["codes"] = (t, eng.codes.nbytes / N)
 
+    if "delta8" in tiers:
+        eng = FusedCompressedEngine(cw, codes, precision="int8")
+        print(f"  delta8 tiles: S={eng.tiles.S} Cap={eng.tiles.Cap} "
+              f"bytes/vec={eng.bytes_per_vec():.3f}", file=sys.stderr)
+        verify(eng, "delta8")
+
+        qq0 = np.clip(np.rint((np.pad(queries, ((0, 0),
+                      (0, eng.d_pad - D))) - eng.mu[None, :])
+                      / eng.scale), -127, 127).astype(np.int8)
+
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def bench_delta8(qb, qq, cwbd, rd, ovf, salt, iters):
+            def body(i, acc):
+                q = qb * (1.0 + (salt + i.astype(jnp.float32)) * 0.01)
+                tab = adc_table(jnp.asarray(cw), q[:, :D])
+                q2 = jnp.sum(q * q, axis=1)
+                mins, echo = fp.fused_delta_mins(
+                    qq.T, cwbd, rd, ovf, jnp.int32(N), eng.tiles.S)
+                mins = mins * jnp.float32(eng.scale * eng.scale)
+                d, r, ok = fp.select_rerank(mins.T, q2, tab, echo,
+                                            jnp.int32(N), top_k, ns,
+                                            pool)
+                return acc + jnp.sum(d) + jnp.sum(r).astype(jnp.float32)
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+        qp = jnp.asarray(np.pad(queries,
+                                ((0, 0), (0, eng.d_pad - D))))
+        t = measure(lambda s_, it: bench_delta8(
+            qp, jnp.asarray(qq0), eng.cwbd, eng.row_data, eng.ovf,
+            jnp.float32(s_), it))
+        results["delta8"] = (t, eng.bytes_per_vec())
+
     if "delta" in tiers:
         eng = FusedCompressedEngine(cw, codes)
         print(f"  delta tiles: S={eng.tiles.S} Cap={eng.tiles.Cap} "
