@@ -133,7 +133,11 @@ class DeltaPQIndex:
                                     FusedDecodedEngine)
 
             codes = self._all_codes()
-            if self.engine == "fused":
+            if self.engine != "fused" and self.K > 256:
+                # u16 tiers are decoded-only; quietly upgrade
+                self._fused_engine = FusedDecodedEngine(
+                    self.codewords, codes)
+            elif self.engine == "fused":
                 self._fused_engine = FusedDecodedEngine(
                     self.codewords, codes)
             elif self.engine == "fused_codes":

@@ -161,6 +161,13 @@ class FusedCodesEngine:
                  precision: str = "bf16"):
         codewords = np.asarray(codewords, np.float32)
         M, K, Ds = codewords.shape
+        if K > 256:
+            # u16 codes need a [TILE, M*K>2048] one-hot scratch that
+            # busts VMEM; K>256 runs on the decoded tier or the legacy
+            # engines (the reference's DTC formats are K<=256 too)
+            raise NotImplementedError(
+                "fused codes/delta tiers require K <= 256; use "
+                "FusedDecodedEngine or the legacy engines for u16")
         self.codewords = jnp.asarray(codewords)
         self.M, self.K = M, K
         self.D = M * Ds
@@ -226,6 +233,10 @@ class FusedCompressedEngine:
                  S: Optional[int] = None, precision: str = "bf16"):
         codewords = np.asarray(codewords, np.float32)
         M, K, Ds = codewords.shape
+        if K > 256:
+            raise NotImplementedError(
+                "fused codes/delta tiers require K <= 256; use "
+                "FusedDecodedEngine or the legacy engines for u16")
         self.codewords = jnp.asarray(codewords)
         self.M, self.K = M, K
         self.D = M * Ds
