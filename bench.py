@@ -51,8 +51,9 @@ def make_clustered_codes(n, M, K, n_clusters=4096, spread=1.5, seed=0):
     codes = protos[rng.integers(0, n_clusters, size=n)]
     n_flip = rng.poisson(spread, size=n).clip(0, M)
     for m in range(M):
-        sel = n_flip > m
-        codes[sel, rng.integers(0, M)] = rng.integers(0, K)
+        rows = np.flatnonzero(n_flip > m)
+        codes[rows, rng.integers(0, M, size=len(rows))] = \
+            rng.integers(0, K, size=len(rows))
     order = np.lexsort(codes.T[::-1])
     return codes[order].astype(np.uint8)
 

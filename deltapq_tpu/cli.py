@@ -331,8 +331,10 @@ def task_approx_tree(args, metrics: Metrics):
     # checks/writes its edges file, deltapq_create_approx_tree.h:
     # 1215-1242, 1320-1329): an interrupted build resumes after the
     # most expensive stage
-    edges_path = os.path.join(args.dataset,
-                              edges_filename(cfg, tcfg, n)) + ".npz"
+    diff_tag = (f"_D{tcfg.resolved_diff(args.m)}"
+                if tcfg.resolved_diff(args.m) != args.m else "")
+    edges_path = os.path.join(
+        args.dataset, edges_filename(cfg, tcfg, n)) + diff_tag + ".npz"
     if os.path.exists(edges_path) and not args.force:
         print(f"REMINDER: edges file exists, loading: {edges_path}")
         z = np.load(edges_path)
@@ -534,10 +536,12 @@ def task_map(args, metrics: Metrics):
     from .io.vecs import read_vecs_at
 
     q = _load_queries(args)
+    safe_i = np.maximum(i, 0)  # -1 sentinels read row 0, masked below
     rows = read_vecs_at(os.path.join(args.dataset, f"base.{args.ext}"),
-                        i, ext=args.ext)
+                        safe_i, ext=args.ext)
     diff = rows - q[:len(i), None, :]
     td = np.sum(diff * diff, axis=2).astype(np.float32)
+    td = np.where(i >= 0, td, np.inf)
     er = epsilon_recall(td, gt_d[:len(i)])
     print(f"eps recall = {er['eps_recall']}")
     print(f"recall = {er['recall_true']}")

@@ -152,7 +152,8 @@ class DeltaPQIndex:
                     self._fused_engine = FusedCompressedEngine(
                         self.codewords, np.asarray(codes)[order],
                         row_to_db=order)
-        k_eff = min(top_k, self.n)
+        # over-fetch so masked (deleted) rows cannot truncate results
+        k_eff = min(top_k + int(self.deleted.sum()), self.n)
         d, i = self._fused_engine.query(np.asarray(queries, np.float32),
                                         top_k=k_eff)
         i = i.astype(np.int64)
@@ -163,8 +164,8 @@ class DeltaPQIndex:
             order = np.argsort(d, axis=1, kind="stable")
             d = np.take_along_axis(d, order, axis=1)
             i = np.take_along_axis(i, order, axis=1)
-        if k_eff < top_k:
-            pad = top_k - k_eff
+        if d.shape[1] < top_k:
+            pad = top_k - d.shape[1]
             d = np.concatenate(
                 [d, np.full((len(d), pad), np.inf, d.dtype)], axis=1)
             i = np.concatenate(

@@ -91,6 +91,9 @@ def read_vecs_at(path: str, ids: np.ndarray, ext: Optional[str] = None,
     rec = record_size(dim, ext)
     dtype, isize = _ITEM[ext]
     ids = np.asarray(ids, np.int64)
+    if (ids < 0).any():
+        raise ValueError("read_vecs_at: negative (invalid) ids; "
+                         "filter sentinel -1 entries first")
     uniq, inv = np.unique(ids, return_inverse=True)
     out = np.empty((len(uniq), dim),
                    np.float32 if as_float else dtype)

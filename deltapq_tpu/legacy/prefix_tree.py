@@ -248,8 +248,11 @@ def prefix_tree_query(store: BitVecsStore, codewords: np.ndarray,
                 words |= bit << np.uint64(
                     (M - 1 - i) + (j + log_k - level) * M)
         starts = np.searchsorted(store.words, words)
-        ends = np.searchsorted(store.words,
-                               words + (np.uint64(1) << shift))
+        end_keys = words + (np.uint64(1) << shift)
+        ends = np.searchsorted(store.words, end_keys)
+        # the all-ones prefix wraps end_keys to 0 (64-bit overflow for
+        # M*log_k == 64); its range extends to the end of the store
+        ends = np.where(end_keys == 0, store.n, ends)
         occupied = ends > starts
         children = children[occupied]
         words = words[occupied]

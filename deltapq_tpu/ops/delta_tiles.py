@@ -87,6 +87,10 @@ def build_delta_tiles(codes: np.ndarray, S: Optional[int] = None,
     if M > 8:
         raise NotImplementedError("delta tiles require M <= 8 "
                                   "(u8 mask); use the codes tier")
+    if S is not None and not (1 <= S <= M - 1):
+        # overflow rows are detected by popcount(mask) > S with an
+        # all-ones mask (popcount M); S >= M breaks that detection
+        raise ValueError(f"S must be in [1, M-1], got {S} (M={M})")
     n_pad = -(-n // TILE) * TILE
     c = np.concatenate([codes, np.repeat(codes[-1:], n_pad - n, axis=0)]
                        ) if n_pad != n else codes

@@ -62,10 +62,13 @@ def _default_n_sub(top_k: int, n_units: int, unit: int) -> int:
 
 
 def _select_with_escalation(mins_bn, q2, table, codes_dev, n_valid,
-                            top_k, n_sub=None):
+                            top_k, n_sub=None, invalid=None):
     """Run select_rerank, escalating the candidate pool 4x whenever a
     query's exactness certificate fails (equal-distance pileups at the
-    fence), with a terminal full exact scan.  Returns (d, rows,
+    fence), with a terminal full exact scan.  ``invalid`` marks queries
+    whose mins are untrustworthy (e.g. int8 quantization clipped the
+    query) — their certificate is forced false so the terminal exact
+    scan covers them.  Returns (d, rows,
     exact_frac_before_escalation)."""
     ns_total = mins_bn.shape[1]
     pool = _pool_for(ns_total)
@@ -79,12 +82,16 @@ def _select_with_escalation(mins_bn, q2, table, codes_dev, n_valid,
     ns_cap = min(max(n_units - 1, 1), max(ns, 65536 // unit))
     d, rows, ok = fp.select_rerank(mins_bn, q2, table, codes_dev,
                                    n_valid, top_k, ns, pool)
+    if invalid is not None:
+        ok = jnp.logical_and(ok, jnp.logical_not(invalid))
     first_frac = float(jnp.mean(ok))
     okh = bool(jnp.all(ok))
     while not okh and ns < ns_cap:
         ns = min(ns * 4, ns_cap)
         d, rows, ok = fp.select_rerank(mins_bn, q2, table, codes_dev,
                                        n_valid, top_k, ns, pool)
+        if invalid is not None:
+            ok = jnp.logical_and(ok, jnp.logical_not(invalid))
         okh = bool(jnp.all(ok))
     if not okh:
         from .adc import adc_query_topk
@@ -145,11 +152,18 @@ class FusedDecodedEngine:
 
 
 def _mins_query_args(qc: np.ndarray, precision: str, scale):
-    """Centered queries -> kernel q operand ([D, B], bf16 or int8)."""
+    """Centered queries -> (kernel q operand [D, B] bf16/int8,
+    invalid-query mask or None).  int8 quantization CLIPS coordinates
+    beyond the codebook range; clipped queries' subtile mins are no
+    longer bounded-error, so they are flagged and routed to the exact
+    fallback by the escalation loop."""
     if precision == "int8":
-        qq = np.clip(np.rint(qc / scale), -127, 127).astype(np.int8)
-        return jnp.asarray(qq.T)
-    return jnp.asarray(qc.astype(jnp.bfloat16).T)
+        scaled = qc / scale
+        clipped = (np.abs(scaled) > 127.0).any(axis=1)
+        qq = np.clip(np.rint(scaled), -127, 127).astype(np.int8)
+        inv = jnp.asarray(clipped) if clipped.any() else None
+        return jnp.asarray(qq.T), inv
+    return jnp.asarray(qc.astype(jnp.bfloat16).T), None
 
 
 class FusedCodesEngine:
@@ -205,18 +219,20 @@ class FusedCodesEngine:
         qc_np = q - self.mu[None, :]            # centered scan domain
         qc = jnp.asarray(qc_np)
         q2 = jnp.sum(qc * qc, axis=1)
+        qop, invalid = _mins_query_args(qc_np, self.precision,
+                                        self.scale)
         mins, codes_echo = fp.fused_codes_mins(
-            _mins_query_args(qc_np, self.precision, self.scale),
-            self.cwbd, self.codes, jnp.int32(self.n_valid))
+            qop, self.cwbd, self.codes, jnp.int32(self.n_valid))
         if self.precision == "int8":
             mins = mins * jnp.float32(self.scale * self.scale)
         d, rows, frac = _select_with_escalation(
             mins.T, q2, table, codes_echo, jnp.int32(self.n_valid),
-            top_k, n_sub)
+            top_k, n_sub, invalid=invalid)
         self.last_exact_frac = frac
         if self.row_to_db is not None:
-            rows = jnp.take(self.row_to_db,
-                            jnp.clip(rows, 0, self.n_valid - 1))
+            mapped = jnp.take(self.row_to_db,
+                              jnp.clip(rows, 0, self.n_valid - 1))
+            rows = jnp.where(rows >= 0, mapped, -1)  # keep padding
         return np.asarray(d[:b]), np.asarray(rows[:b])
 
 
@@ -281,19 +297,21 @@ class FusedCompressedEngine:
         qc_np = q - self.mu[None, :]            # centered scan domain
         qc = jnp.asarray(qc_np)
         q2 = jnp.sum(qc * qc, axis=1)
+        qop, invalid = _mins_query_args(qc_np, self.precision,
+                                        self.scale)
         mins, codes_echo = fp.fused_delta_mins(
-            _mins_query_args(qc_np, self.precision, self.scale),
-            self.cwbd, self.row_data, self.ovf,
+            qop, self.cwbd, self.row_data, self.ovf,
             jnp.int32(self.n_valid), self.tiles.S)
         if self.precision == "int8":
             mins = mins * jnp.float32(self.scale * self.scale)
         d, rows, frac = _select_with_escalation(
             mins.T, q2, table, codes_echo, jnp.int32(self.n_valid),
-            top_k, n_sub)
+            top_k, n_sub, invalid=invalid)
         self.last_exact_frac = frac
         if self.row_to_db is not None:
-            rows = jnp.take(self.row_to_db,
-                            jnp.clip(rows, 0, self.n_valid - 1))
+            mapped = jnp.take(self.row_to_db,
+                              jnp.clip(rows, 0, self.n_valid - 1))
+            rows = jnp.where(rows >= 0, mapped, -1)  # keep padding
         return np.asarray(d[:b]), np.asarray(rows[:b])
 
     def save(self, path: str) -> None:
@@ -310,6 +328,9 @@ class FusedCompressedEngine:
 
     @classmethod
     def load(cls, path: str) -> "FusedCompressedEngine":
+        import os
+        if not os.path.exists(path) and os.path.exists(path + ".npz"):
+            path = path + ".npz"  # np.savez appends the suffix
         z = np.load(path, allow_pickle=False)
         self = cls.__new__(cls)
         codewords = np.asarray(z["codewords"], np.float32)

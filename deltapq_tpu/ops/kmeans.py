@@ -55,6 +55,12 @@ def _kmeanspp_init(key: jax.Array, x: jnp.ndarray, K: int,
     n, d = x.shape
     if chunk == 0:
         chunk = 16 if jax.default_backend() in ("tpu", "axon") else 1
+    # the chunked path needs chunk < K (else the clamped
+    # dynamic_update_slice overwrites the first center) and chunk <= n
+    # (top_k bound); small problems use the exact sequential path
+    chunk = min(chunk, K - 1, n)
+    if K <= 8 or n < 2 * chunk:
+        chunk = 1
     k0, key = jax.random.split(key)
     first = jax.random.randint(k0, (), 0, n)
     centers0 = jnp.zeros((K, d), x.dtype).at[0].set(x[first])

@@ -137,5 +137,6 @@ class ShardedCompressedEngine:
         self.last_exact_frac = float(jnp.mean(ok[:b]))
         rows = np.asarray(rows[:b]).astype(np.int64)
         if self.row_to_db is not None:
-            rows = self.row_to_db[np.clip(rows, 0, self.n_valid - 1)]
+            mapped = self.row_to_db[np.clip(rows, 0, self.n_valid - 1)]
+            rows = np.where(rows >= 0, mapped, -1)  # keep padding
         return np.asarray(d[:b]), rows

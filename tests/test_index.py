@@ -109,3 +109,18 @@ def test_search_fused_engines(built, small_dataset):
                            engine=engine)
         d, i = idx.search(small_dataset[:8], top_k=5)
         np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)
+
+
+def test_fused_search_with_deletes(built, small_dataset):
+    """Fused path must over-fetch so deletes cannot truncate results
+    (round-2 review finding)."""
+    idx = DeltaPQIndex(built.codewords, built.codes.copy(),
+                       engine="fused")
+    q = small_dataset[:4]
+    d0, i0 = idx.search(q, top_k=10)
+    # delete every current top-5 of query 0
+    idx.remove(i0[0, :5][i0[0, :5] >= 0])
+    d, i = idx.search(q, top_k=10)
+    live = np.isfinite(d[0])
+    assert live.sum() == 10  # plenty of live rows remain
+    assert not np.isin(i0[0, :5], i[0]).any()

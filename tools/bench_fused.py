@@ -21,20 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def make_clustered_codes(n, M, K, n_clusters=4096, spread=1.5, seed=0):
-    """Codes around cluster prototypes: consecutive-ish rows share most
-    subspaces once sorted — the regime DeltaPQ compresses."""
-    rng = np.random.default_rng(seed)
-    protos = rng.integers(0, K, size=(n_clusters, M))
-    assign = rng.integers(0, n_clusters, size=n)
-    codes = protos[assign]
-    # perturb a Poisson-ish number of subspaces per row
-    n_flip = rng.poisson(spread, size=n).clip(0, M)
-    for m in range(M):
-        sel = n_flip > m
-        codes[sel, rng.integers(0, M)] = rng.integers(0, K)
-    order = np.lexsort(codes.T[::-1])
-    return codes[order].astype(np.uint8 if K <= 256 else np.uint16)
+from bench import make_clustered_codes  # noqa: E402
 
 
 def measure(fn, iters=(2, 12), repeats=3):
