@@ -42,20 +42,30 @@ import numpy as np
 BASELINE_QPS = 125.0
 
 
-def make_clustered_codes(n, M, K, n_clusters=4096, spread=1.5, seed=0):
-    """Codes around cluster prototypes, sorted: the workload DeltaPQ's
-    delta compression exists for (random codes do not compress, as in
-    the reference)."""
+def make_clustered_codes(n, M, K, n_clusters=4096, seed=0):
+    """Workload codes produced by the REAL pipeline: clustered vectors
+    -> PQ learn -> encode -> lexsort.  Hand-made code perturbations
+    either overstate compressibility (shared-scalar flips) or destroy
+    it (uniform per-row flips); encoding actual clustered vectors
+    lands at ~3 B/vec delta tiles — the regime DeltaPQ exists for
+    (SIFT-like data; random codes do not compress, as in the
+    reference)."""
+    import jax
+
+    from deltapq_tpu.ops.encode import pq_encode
+    from deltapq_tpu.ops.kmeans import pq_learn
+
     rng = np.random.default_rng(seed)
-    protos = rng.integers(0, K, size=(n_clusters, M))
-    codes = protos[rng.integers(0, n_clusters, size=n)]
-    n_flip = rng.poisson(spread, size=n).clip(0, M)
-    for m in range(M):
-        rows = np.flatnonzero(n_flip > m)
-        codes[rows, rng.integers(0, M, size=len(rows))] = \
-            rng.integers(0, K, size=len(rows))
+    D = 128
+    centers = rng.normal(size=(n_clusters, D)).astype(np.float32) * 4.0
+    assign = rng.integers(0, n_clusters, size=n)
+    x = (centers[assign]
+         + rng.normal(size=(n, D)).astype(np.float32) * 0.35)
+    cw = pq_learn(jax.random.PRNGKey(seed), x[:20000], M=M, K=K,
+                  max_iters=40, n_init=1)
+    codes = np.asarray(pq_encode(cw, x))
     order = np.lexsort(codes.T[::-1])
-    return codes[order].astype(np.uint8)
+    return codes[order]
 
 
 def measure(bench_fn, args, iters=(2, 12), repeats=3):
