@@ -45,7 +45,7 @@ class DeltaPQIndex:
         self.tree = None
         self._stream = None
         self._cached_codes = None  # device/scan cache, built lazily
-        if build_tree and self.K <= 256 and self.M <= 8 and len(codes):
+        if build_tree and self.K <= 256 and self.M <= 16 and len(codes):
             self._build_tree()
 
     # -- construction ------------------------------------------------------
@@ -71,7 +71,12 @@ class DeltaPQIndex:
                                  method=self.tree_method)
         self.tree = build_layout(self.codes, res.edges, res.root_id,
                                  K=self.K, codewords=self.codewords)
-        self._stream = serialize_dtc(self.tree)
+        # the reference DTC byte format caps at M=8 (1-byte bitmap,
+        # deltapq_create_approx_tree.h:36); for 8 < M <= 16 the tree
+        # still drives the fused compressed tier's DFS scan order and
+        # the delta tiles are the compressed at-rest format
+        self._stream = (serialize_dtc(self.tree) if self.M <= 8
+                        else None)
 
     # -- queries -----------------------------------------------------------
 
@@ -212,7 +217,7 @@ class DeltaPQIndex:
         self.deleted = np.zeros(0, bool)
         self._fused_engine = None
         self._cached_codes = None
-        if self.K <= 256 and self.M <= 8 and len(self.codes):
+        if self.K <= 256 and self.M <= 16 and len(self.codes):
             self._build_tree()
 
     # -- stats / persistence ----------------------------------------------
@@ -226,6 +231,12 @@ class DeltaPQIndex:
             out["compressed_bytes"] = len(self._stream)
             out["bytes_per_vec"] = round(
                 len(self._stream) / max(len(self.codes), 1), 3)
+        eng = getattr(self, "_fused_engine", None)
+        if eng is not None and hasattr(eng, "bytes_per_vec"):
+            # resident delta-tile footprint (M > 8 has no DTC stream;
+            # the tiles are the compressed representation)
+            out["delta_tile_bytes_per_vec"] = round(
+                eng.bytes_per_vec(), 3)
         return out
 
     def save(self, path: str) -> None:

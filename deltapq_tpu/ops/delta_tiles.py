@@ -11,8 +11,9 @@ kernel can decode a whole tile in parallel:
   rows share most subspaces), split into tiles of ``TILE`` rows;
 * each row stores its diff **vs the previous row** (the reference's own
   sequential-diff representation, ``create_diff_index``, ``:1972-2053``,
-  applied to DFS order) as one mask byte + up to ``S`` fixed value
-  slots;
+  applied to DFS order) as ``ceil(M/8)`` mask byte planes (one for
+  M <= 8 — the SIFT shape; two for the GIST M=16 shape) + up to ``S``
+  fixed value slots;
 * rows with more than ``S`` diffs — and always the first row of every
   tile, which makes tiles self-contained — store their full code in a
   per-tile **overflow list** and an all-ones mask byte.
@@ -42,7 +43,8 @@ TILE = 1024
 class DeltaTiles:
     """Device-ready delta-compressed code tiles (scan order = DFS)."""
 
-    row_data: np.ndarray   # u8 [nT, 1+S, TILE]: mask byte + S value slots
+    row_data: np.ndarray   # u8 [nT, P+S, TILE]: P = ceil(M/8) mask byte
+                           # planes + S value slots
     ovf: np.ndarray        # u8 [nT, M, Cap]: full codes of overflow rows
                            # (both transposed rows-on-lanes for the
                            # kernel's vectorized decode)
@@ -50,6 +52,10 @@ class DeltaTiles:
     M: int
     S: int
     Cap: int
+
+    @property
+    def n_planes(self) -> int:
+        return (self.M + 7) // 8
 
     @property
     def n_tiles(self) -> int:
@@ -66,27 +72,42 @@ class DeltaTiles:
         return self.nbytes() / max(self.n_valid, 1)
 
 
-def _mask_bytes(bits: np.ndarray) -> np.ndarray:
-    """[N, M] bool -> [N] uint8 with bit m set iff bits[:, m]."""
-    M = bits.shape[1]
-    w = (1 << np.arange(M, dtype=np.uint32))[None, :]
-    return (bits.astype(np.uint32) * w).sum(axis=1).astype(np.uint8)
+def _mask_planes(bits: np.ndarray) -> np.ndarray:
+    """[N, M] bool -> [N, ceil(M/8)] uint8 planes: plane p bit j set
+    iff bits[:, 8p + j]."""
+    n, M = bits.shape
+    P = (M + 7) // 8
+    out = np.zeros((n, P), np.uint8)
+    for p in range(P):
+        sub = bits[:, 8 * p:8 * p + 8]
+        w = (1 << np.arange(sub.shape[1], dtype=np.uint32))[None, :]
+        out[:, p] = (sub.astype(np.uint32) * w).sum(axis=1).astype(
+            np.uint8)
+    return out
+
+
+def _full_planes(M: int) -> np.ndarray:
+    """All-ones mask planes for overflow rows ([P] u8)."""
+    P = (M + 7) // 8
+    return np.array([(1 << min(8, M - 8 * p)) - 1 for p in range(P)],
+                    np.uint8)
 
 
 def build_delta_tiles(codes: np.ndarray, S: Optional[int] = None,
                       cap_unit: int = 128) -> DeltaTiles:
     """Pack scan-ordered codes into delta tiles.
 
-    codes: u8 [N, M] in scan (DFS) order, M <= 8, K <= 256.
-    S: value slots per row (None = pick the S in 1..4 minimizing total
-    bytes).  Padding rows (to a TILE multiple) repeat the last row
-    (zero diffs); they are masked out at query time via n_valid.
+    codes: u8 [N, M] in scan (DFS) order, M <= 16, K <= 256.
+    S: value slots per row (None = pick the S minimizing total bytes).
+    Padding rows (to a TILE multiple) repeat the last row (zero diffs);
+    they are masked out at query time via n_valid.
     """
     codes = np.asarray(codes, np.uint8)
     n, M = codes.shape
-    if M > 8:
-        raise NotImplementedError("delta tiles require M <= 8 "
-                                  "(u8 mask); use the codes tier")
+    if M > 16:
+        raise NotImplementedError("delta tiles require M <= 16 "
+                                  "(2 mask planes); use the codes tier")
+    P = (M + 7) // 8
     if S is not None and not (1 <= S <= M - 1):
         # overflow rows are detected by popcount(mask) > S with an
         # all-ones mask (popcount M); S >= M breaks that detection
@@ -111,15 +132,16 @@ def build_delta_tiles(codes: np.ndarray, S: Optional[int] = None,
 
     if S is None:
         best = None
-        for s in range(1, min(4, M - 1) + 1):
-            total = n_pad * (1 + s) + nt * cap_for(s) * M
+        for s in range(1, min(8, M - 1) + 1):
+            total = n_pad * (P + s) + nt * cap_for(s) * M
             if best is None or total < best[0]:
                 best = (total, s)
         S = best[1]
     Cap = cap_for(S)
 
     is_ovf = first | (nd > S)
-    mask = np.where(is_ovf, (1 << M) - 1, _mask_bytes(bits))
+    mask = np.where(is_ovf[:, None], _full_planes(M)[None, :],
+                    _mask_planes(bits))                     # [n_pad, P]
 
     rank = np.cumsum(bits, axis=1) - bits      # exclusive per-row rank
     slots = np.zeros((n_pad, S), np.uint8)
@@ -129,8 +151,8 @@ def build_delta_tiles(codes: np.ndarray, S: Optional[int] = None,
         slots[rows, j] = c[rows, cols]
 
     row_data = np.ascontiguousarray(
-        np.concatenate([mask[:, None].astype(np.uint8), slots], axis=1)
-        .reshape(nt, TILE, 1 + S).transpose(0, 2, 1))
+        np.concatenate([mask.astype(np.uint8), slots], axis=1)
+        .reshape(nt, TILE, P + S).transpose(0, 2, 1))
 
     ovf_flags = is_ovf.reshape(nt, TILE)
     ovf_rank = np.cumsum(ovf_flags, axis=1) - ovf_flags
@@ -149,12 +171,13 @@ def decode_delta_tiles(dt: DeltaTiles) -> np.ndarray:
     scan-ordered [n_valid, M] codes via the same scatter + forward-fill
     the Pallas kernel runs."""
     nt, _, T = dt.row_data.shape
-    M, S = dt.M, dt.S
-    mask = dt.row_data[:, 0, :].astype(np.uint32)           # [nT, T]
+    M, S, P = dt.M, dt.S, dt.n_planes
     out = np.empty((nt, T, M), np.int32)
 
-    bit = ((mask[:, :, None] >> np.arange(M)[None, None, :]) & 1
-           ).astype(np.int64)                               # [nT, T, M]
+    planes = dt.row_data[:, :P, :].astype(np.uint32)        # [nT, P, T]
+    bit = np.stack(
+        [(planes[:, m // 8, :] >> (m % 8)) & 1 for m in range(M)],
+        axis=2).astype(np.int64)                            # [nT, T, M]
     rank = np.cumsum(bit, axis=2) - bit
     nd = bit.sum(axis=2)
     is_ovf = nd > S
@@ -163,7 +186,7 @@ def decode_delta_tiles(dt: DeltaTiles) -> np.ndarray:
     H = np.full((nt, T, M), -1, np.int32)
     for j in range(S):
         sel = (bit == 1) & (rank == j) & ~is_ovf[:, :, None]
-        vals = dt.row_data[:, 1 + j, :].astype(np.int32)
+        vals = dt.row_data[:, P + j, :].astype(np.int32)
         H = np.where(sel, vals[:, :, None], H)
     t_i, r_i = np.nonzero(is_ovf)
     H[t_i, r_i] = dt.ovf.transpose(0, 2, 1)[t_i, ovf_rank[t_i, r_i]]

@@ -152,11 +152,12 @@ class FusedDecodedEngine:
 
 
 def _mins_query_args(qc: np.ndarray, precision: str, scale):
-    """Centered queries -> (kernel q operand [D, B] bf16/int8,
-    invalid-query mask or None).  int8 quantization CLIPS coordinates
-    beyond the codebook range; clipped queries' subtile mins are no
-    longer bounded-error, so they are flagged and routed to the exact
-    fallback by the escalation loop."""
+    """Centered grouped-layout queries [B, G*Dg_pad] -> (kernel q
+    operand [G*Dg_pad, B] bf16/int8, invalid-query mask or None).
+    int8 quantization CLIPS coordinates beyond the codebook range;
+    clipped queries' subtile mins are no longer bounded-error, so they
+    are flagged and routed to the exact fallback by the escalation
+    loop."""
     if precision == "int8":
         scaled = qc / scale
         clipped = (np.abs(scaled) > 127.0).any(axis=1)
@@ -183,7 +184,7 @@ class FusedCodesEngine:
                 "fused codes/delta tiers require K <= 256; use "
                 "FusedDecodedEngine or the legacy engines for u16")
         self.codewords = jnp.asarray(codewords)
-        self.M, self.K = M, K
+        self.M, self.K, self.Ds = M, K, Ds
         self.D = M * Ds
         self.d_pad = -(-self.D // 128) * 128
         codes = np.asarray(codes)
@@ -219,7 +220,8 @@ class FusedCodesEngine:
         qc_np = q - self.mu[None, :]            # centered scan domain
         qc = jnp.asarray(qc_np)
         q2 = jnp.sum(qc * qc, axis=1)
-        qop, invalid = _mins_query_args(qc_np, self.precision,
+        qk = fp.pack_query_grouped(qc_np[:, :self.D], self.M, self.Ds)
+        qop, invalid = _mins_query_args(qk, self.precision,
                                         self.scale)
         mins, codes_echo = fp.fused_codes_mins(
             qop, self.cwbd, self.codes, jnp.int32(self.n_valid))
@@ -254,7 +256,7 @@ class FusedCompressedEngine:
                 "fused codes/delta tiers require K <= 256; use "
                 "FusedDecodedEngine or the legacy engines for u16")
         self.codewords = jnp.asarray(codewords)
-        self.M, self.K = M, K
+        self.M, self.K, self.Ds = M, K, Ds
         self.D = M * Ds
         self.d_pad = -(-self.D // 128) * 128
         self.tiles: DeltaTiles = build_delta_tiles(
@@ -297,7 +299,8 @@ class FusedCompressedEngine:
         qc_np = q - self.mu[None, :]            # centered scan domain
         qc = jnp.asarray(qc_np)
         q2 = jnp.sum(qc * qc, axis=1)
-        qop, invalid = _mins_query_args(qc_np, self.precision,
+        qk = fp.pack_query_grouped(qc_np[:, :self.D], self.M, self.Ds)
+        qop, invalid = _mins_query_args(qk, self.precision,
                                         self.scale)
         mins, codes_echo = fp.fused_delta_mins(
             qop, self.cwbd, self.row_data, self.ovf,
@@ -336,7 +339,7 @@ class FusedCompressedEngine:
         codewords = np.asarray(z["codewords"], np.float32)
         M, K, Ds = codewords.shape
         self.codewords = jnp.asarray(codewords)
-        self.M, self.K = M, K
+        self.M, self.K, self.Ds = M, K, Ds
         self.D = M * Ds
         self.d_pad = -(-self.D // 128) * 128
         self.tiles = DeltaTiles(

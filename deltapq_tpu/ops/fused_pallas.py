@@ -159,62 +159,110 @@ def codebook_center(codewords: np.ndarray) -> np.ndarray:
     return np.asarray(codewords, np.float32).mean(axis=1).reshape(-1)
 
 
+def group_geometry(M: int, Ds: int) -> Tuple[int, int, int]:
+    """Subspace grouping for the block-diagonal decode.
+
+    The one-hot scratch is [*, Mg*K] and the codebook operand
+    [G*Mg*K, Dg_pad]: grouping subspaces in bands of <= 8 keeps both
+    within VMEM at the GIST shape (M=16, K=256), where an ungrouped
+    [TILE, 4096] scratch + [4096, 1024] codebook would not fit.
+    Returns (G groups, Mg subspaces/group, Dg_pad padded group width).
+    For M <= 8 this degenerates to one group with D padded to 128 —
+    bit-identical to the ungrouped layout."""
+    G = (M + 7) // 8
+    Mg = -(-M // G)
+    Dg_pad = -(-(Mg * Ds) // 128) * 128
+    return G, Mg, Dg_pad
+
+
+def pack_query_grouped(qc: np.ndarray, M: int, Ds: int) -> np.ndarray:
+    """Centered queries [B, D] f32 -> kernel layout [B, G*Dg_pad]:
+    group g's subspace dims at columns [g*Dg_pad, g*Dg_pad + Mg*Ds),
+    zeros elsewhere (matching ``build_blockdiag_codebook`` columns)."""
+    qc = np.asarray(qc, np.float32)
+    B, D = qc.shape
+    G, Mg, Dg_pad = group_geometry(M, Ds)
+    out = np.zeros((B, G * Dg_pad), np.float32)
+    for g in range(G):
+        lo = g * Mg * Ds
+        hi = min((g + 1) * Mg * Ds, D)
+        out[:, g * Dg_pad:g * Dg_pad + (hi - lo)] = qc[:, lo:hi]
+    return out
+
+
 def build_blockdiag_codebook(codewords: np.ndarray,
                              center: Optional[np.ndarray] = None
                              ) -> np.ndarray:
-    """[M, K, Ds] f32 -> block-diagonal [M*K, D_pad] bf16 decode matrix:
-    ``onehot(codes) @ CWbd`` reconstructs the decoded vector (minus
-    ``center`` when given, see ``codebook_center``).  D is padded to a
-    lane multiple of 128."""
+    """[M, K, Ds] f32 -> grouped block-diagonal [G*Mg*K, Dg_pad] bf16
+    decode matrix: per group g, ``onehot(codes_g) @ CWbd_g``
+    reconstructs the group's decoded dims (minus ``center`` when given,
+    see ``codebook_center``).  For M <= 8 (one group) this is the plain
+    [M*K, pad(D, 128)] block-diagonal matrix."""
     M, K, Ds = codewords.shape
     cw = np.asarray(codewords, np.float32)
     if center is not None:
         cw = cw - center.reshape(M, 1, Ds)
-    D = M * Ds
-    d_pad = -(-D // 128) * 128
-    out = np.zeros((M * K, d_pad), np.float32)
+    G, Mg, Dg_pad = group_geometry(M, Ds)
+    out = np.zeros((G * Mg * K, Dg_pad), np.float32)
     for m in range(M):
-        out[m * K:(m + 1) * K, m * Ds:(m + 1) * Ds] = cw[m]
+        g, mi = divmod(m, Mg)
+        out[(g * Mg + mi) * K:(g * Mg + mi + 1) * K,
+            mi * Ds:(mi + 1) * Ds] = cw[m]
     return out.astype(jnp.bfloat16)
+
+
+def _groups_of(M: int) -> Tuple[int, int]:
+    G = (M + 7) // 8
+    return G, -(-M // G)
 
 
 def _scan_tail(H, q_ref, cwbd_ref, n_valid_ref, out_ref, codes_out_ref,
                oh_ref):
     """Shared tail: codes H [TILE, M] i32 -> one-hot decode -> matmul ->
-    subtile mins.
+    subtile mins, per subspace group (``group_geometry``).
 
-    bf16 mode: q [D, B] bf16; cwbd [M*K, D] bf16; oh scratch bf16.
+    bf16 mode: q [G*Dg, B] bf16; cwbd [G*Mg*K, Dg] bf16; oh scratch
+    [TILE, Mg*K] bf16 (reused across groups).
     int8 mode (detected from cwbd dtype): quantized codebook/query,
     both matmuls run at the MXU's 2x int8 rate, distances come out in
     the scale^2 domain (the caller rescales; shortlist-only precision,
     exactness restored by the rerank as usual).
     """
     M = H.shape[1]
-    MK = cwbd_ref.shape[0]
-    K = MK // M
+    G, Mg = _groups_of(M)
+    K = cwbd_ref.shape[0] // (G * Mg)
+    Dg = cwbd_ref.shape[1]
     int8_mode = cwbd_ref.dtype == jnp.int8
     oh_dtype = jnp.int8 if int8_mode else jnp.bfloat16
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (TILE, K), 1)
-    for m in range(M):
-        oh_ref[:, m * K:(m + 1) * K] = (
-            H[:, m:m + 1] == iota_k).astype(oh_dtype)
-    if int8_mode:
-        xq = jnp.dot(oh_ref[:], cwbd_ref[:],
-                     preferred_element_type=jnp.int32)     # [TILE, D]
-        # block-diagonal selection: every entry is one int8 codebook
-        # value, so the narrowing cast is exact
-        x8 = xq.astype(jnp.int8)
-        pre = jnp.sum(xq * xq, axis=1,
-                      keepdims=True).astype(jnp.float32)   # [TILE, 1]
-        cross = jnp.dot(x8, q_ref[:],
-                        preferred_element_type=jnp.int32
-                        ).astype(jnp.float32)              # [TILE, B]
-    else:
-        xhat = jnp.dot(oh_ref[:], cwbd_ref[:],
-                       preferred_element_type=jnp.float32)  # [TILE, D]
-        pre = jnp.sum(xhat * xhat, axis=1, keepdims=True)
-        cross = jnp.dot(xhat.astype(jnp.bfloat16), q_ref[:],
-                        preferred_element_type=jnp.float32)
+    pre = jnp.zeros((TILE, 1), jnp.float32)
+    cross = jnp.zeros((TILE, q_ref.shape[1]), jnp.float32)
+    for g in range(G):
+        for mi in range(Mg):
+            m = g * Mg + mi
+            oh_ref[:, mi * K:(mi + 1) * K] = (
+                (H[:, m:m + 1] == iota_k).astype(oh_dtype)
+                if m < M else jnp.zeros((TILE, K), oh_dtype))
+        cwg = cwbd_ref[g * Mg * K:(g + 1) * Mg * K, :]
+        qg = q_ref[g * Dg:(g + 1) * Dg, :]
+        if int8_mode:
+            xq = jnp.dot(oh_ref[:], cwg,
+                         preferred_element_type=jnp.int32)  # [TILE, Dg]
+            # block-diagonal selection: every entry is one int8
+            # codebook value, so the narrowing cast is exact
+            x8 = xq.astype(jnp.int8)
+            pre = pre + jnp.sum(xq * xq, axis=1,
+                                keepdims=True).astype(jnp.float32)
+            cross = cross + jnp.dot(
+                x8, qg, preferred_element_type=jnp.int32
+            ).astype(jnp.float32)                          # [TILE, B]
+        else:
+            xhat = jnp.dot(oh_ref[:], cwg,
+                           preferred_element_type=jnp.float32)
+            pre = pre + jnp.sum(xhat * xhat, axis=1, keepdims=True)
+            cross = cross + jnp.dot(
+                xhat.astype(jnp.bfloat16), qg,
+                preferred_element_type=jnp.float32)
     d = _mask_invalid(pre - 2.0 * cross, n_valid_ref)
     _subtile_mins(d, out_ref)
     codes_out_ref[:] = H.astype(jnp.uint8)
@@ -233,25 +281,34 @@ def _shift_right(x: jnp.ndarray, s: int, fill) -> jnp.ndarray:
     return jnp.where(cols >= s, rolled, fill)
 
 
-def _delta_mins_kernel(q_ref, cwbd_ref, n_valid_ref, rd_ref, ovf_ref,
-                       ut_ref, out_ref, codes_out_ref, oh_ref, *,
+def _delta_mins_kernel(q_ref, cwbd_ref, n_valid_ref, rd_ref,
+                       ovf_ref, out_ref, codes_out_ref, oh_ref, *,
                        S: int):
-    """Delta-tile decode + scan.  rd [1, 1+S, TILE] u8;
-    ovf [1, M, Cap] u8.  See ``delta_tiles.py`` for the format.
+    """Delta-tile decode + scan.  rd [1, P+S, TILE] u8 (P = ceil(M/8)
+    mask planes); ovf [1, M, Cap] u8.  See ``delta_tiles.py``.
 
     Decode runs **rows-on-lanes** ([M, TILE] / [1, TILE] registers, 8x
-    fewer vregs than rows-on-sublanes) so the log2(TILE) prefix-sum and
+    fewer vregs than rows-on-sublanes) so the prefix scans and
     forward-fill rolls are cheap; one [M, TILE] transpose hands the
-    codes to the shared scan tail.
+    codes to the shared grouped scan tail.  (A transpose-free variant —
+    one-hot built [Mg*K, TILE] + dot_general contracting dim 0, codes
+    echo via a nibble-values matmul — measured 3 ms/batch SLOWER at
+    B=512: the narrow-output echo dot breaks the MXU pipeline, while
+    the transpose hides under the matmuls.  /tmp A/B, v5e, 1M rows.)
     """
     M = ovf_ref.shape[1]
     Cap = ovf_ref.shape[2]
-    rd = rd_ref[0].astype(jnp.int32)                       # [1+S, TILE]
-    mask = rd[0:1, :]                                      # [1, TILE]
-    iota_m = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
-    bitm = ((mask >> iota_m) & 1)                          # [M, TILE]
+    P = (M + 7) // 8
+    rd = rd_ref[0].astype(jnp.int32)                       # [P+S, TILE]
+    planes = []
+    for p in range(P):
+        mp = min(8, M - 8 * p)
+        iota_p = jax.lax.broadcasted_iota(jnp.int32, (mp, 1), 0)
+        planes.append((rd[p:p + 1, :] >> iota_p) & 1)
+    bitm = (jnp.concatenate(planes, axis=0) if P > 1
+            else planes[0])                                # [M, TILE]
     # exclusive prefix over the M sublanes: strictly-lower-tri matmul
-    # (values <= 8, exact in bf16): rank[m] = sum_{m'<m} bitm[m']
+    # (values <= 16, exact in bf16): rank[m] = sum_{m'<m} bitm[m']
     tri = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
            < jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
            ).astype(jnp.bfloat16)
@@ -260,19 +317,22 @@ def _delta_mins_kernel(q_ref, cwbd_ref, n_valid_ref, rd_ref, ovf_ref,
     nd = jnp.sum(bitm, axis=0, keepdims=True)              # [1, TILE]
     is_ovf = nd > S
 
-    # overflow rank: exclusive prefix sum along the lanes as ONE f32
-    # matmul against the resident strict-upper-triangular matrix (a
-    # log-step roll chain is ~10 dependent VPU ops — pure latency;
-    # counts <= TILE are exact in f32)
-    ovf_rank = jnp.dot(is_ovf.astype(jnp.float32), ut_ref[:],
-                       preferred_element_type=jnp.float32
-                       ).astype(jnp.int32)                 # [1, TILE]
+    # overflow rank: exclusive prefix sum along the lanes via a
+    # log2(TILE)-step Hillis-Steele roll chain ([1, TILE] registers —
+    # ~10 dependent VPU ops on 8 vregs, measured free; the previous
+    # [TILE, TILE] triangular-matmul formulation held 4 MB of VMEM)
+    acc = is_ovf.astype(jnp.int32)
+    s = 1
+    while s < TILE:
+        acc = acc + _shift_right(acc, s, 0)
+        s *= 2
+    ovf_rank = acc - is_ovf.astype(jnp.int32)              # [1, TILE]
 
     # scatter fixed slots into the hole matrix
     H = jnp.full((M, TILE), -1, jnp.int32)
     fixed = (bitm == 1) & jnp.logical_not(is_ovf)
     for j in range(S):
-        vj = rd[1 + j:2 + j, :]                            # [1, TILE]
+        vj = rd[P + j:P + j + 1, :]                        # [1, TILE]
         H = jnp.where(fixed & (rank == j), vj, H)
 
     # scatter overflow full codes via one-hot matmul (code values
@@ -311,8 +371,13 @@ def quantize_blockdiag_int8(cwbd_bf16_or_cw, center=None):
 
 def _mins_call(kernel, data_specs, data_args, q, cwbd, n_valid, nt, M,
                extra_flops=0):
+    """Shared pallas_call plumbing for the codes/delta tiers.  The
+    one-hot scratch is per subspace group ([TILE, Mg*K], reused across
+    the G groups — see ``group_geometry``)."""
     D, B = q.shape
-    MK = cwbd.shape[0]
+    MKs = cwbd.shape[0]                  # G * Mg * K slot rows
+    G, Mg = _groups_of(M)
+    MgK = MKs // G
     ns = TILE // SUB
     return pl.pallas_call(
         kernel,
@@ -320,7 +385,7 @@ def _mins_call(kernel, data_specs, data_args, q, cwbd, n_valid, nt, M,
         in_specs=[
             pl.BlockSpec((D, B), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((MK, D), lambda i: (0, 0),
+            pl.BlockSpec((MKs, cwbd.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -337,12 +402,13 @@ def _mins_call(kernel, data_specs, data_args, q, cwbd, n_valid, nt, M,
             jax.ShapeDtypeStruct((nt * TILE, M), jnp.uint8),
         ],
         scratch_shapes=[pltpu.VMEM(
-            (TILE, MK),
+            (TILE, MgK),
             jnp.int8 if cwbd.dtype == jnp.int8 else jnp.bfloat16)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * nt * TILE * (MK + B) * D + extra_flops,
-            bytes_accessed=nt * TILE * M + MK * D * 2 + D * B * 2
-            + nt * ns * B * 4 + nt * TILE * M,
+            flops=2 * nt * TILE * (MKs * cwbd.shape[1] + D * B)
+            + extra_flops,
+            bytes_accessed=nt * TILE * M + MKs * cwbd.shape[1] * 2
+            + D * B * 2 + nt * ns * B * 4 + nt * TILE * M,
             transcendentals=0),
         interpret=_interpret(),
     )(q, cwbd, jnp.asarray(n_valid, jnp.int32).reshape(1, 1),
@@ -369,22 +435,18 @@ def fused_delta_mins(q: jnp.ndarray, cwbd: jnp.ndarray,
                      row_data: jnp.ndarray, ovf: jnp.ndarray,
                      n_valid: jnp.ndarray, S: int
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Delta tier: row_data [nT, 1+S, TILE] u8; ovf [nT, M, Cap] u8.
+    """Delta tier: row_data [nT, P+S, TILE] u8; ovf [nT, M, Cap] u8.
     Returns (mins [NS, B] f32, decoded codes [N_pad, M] u8)."""
     nt = row_data.shape[0]
     M, Cap = ovf.shape[1], ovf.shape[2]
-    ut = (jnp.expand_dims(jnp.arange(TILE, dtype=jnp.int32), 1)
-          < jnp.expand_dims(jnp.arange(TILE, dtype=jnp.int32), 0)
-          ).astype(jnp.float32)
+    P = (M + 7) // 8
     return _mins_call(
         functools.partial(_delta_mins_kernel, S=S),
-        [pl.BlockSpec((1, 1 + S, TILE), lambda i: (i, 0, 0),
+        [pl.BlockSpec((1, P + S, TILE), lambda i: (i, 0, 0),
                       memory_space=pltpu.VMEM),
          pl.BlockSpec((1, M, Cap), lambda i: (i, 0, 0),
-                      memory_space=pltpu.VMEM),
-         pl.BlockSpec((TILE, TILE), lambda i: (0, 0),
                       memory_space=pltpu.VMEM)],
-        [row_data, ovf, ut], q, cwbd, n_valid, nt, M,
+        [row_data, ovf], q, cwbd, n_valid, nt, M,
         extra_flops=2 * nt * TILE * Cap * M)
 
 

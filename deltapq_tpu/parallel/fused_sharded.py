@@ -27,15 +27,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import fused_pallas as fp
 from ..ops.adc import adc_table
-from ..ops.delta_tiles import TILE, build_delta_tiles
+from ..ops.delta_tiles import TILE, _full_planes, build_delta_tiles
 from ..ops.fused import _default_n_sub, _pool_for
 
 
 def make_sharded_delta_query_fn(mesh: Mesh, top_k: int, n_sub: int,
                                 pool: int, S: int,
                                 axis: str = "shard"):
-    """Returns a jitted fn (q [D, B] bf16, q2 [B], table [B, M, K],
-    row_data [nT, 1+S, TILE], ovf [nT, M, Cap], n_valid) ->
+    """Returns a jitted fn (q [G*Dg, B] bf16 grouped layout, q2 [B],
+    table [B, M, K], row_data [nT, P+S, TILE], ovf [nT, M, Cap],
+    n_valid) ->
     (dists [B, top_k], rows [B, top_k] global, ok [B]) with the tile
     arrays sharded along the tile axis."""
     n_shards = mesh.devices.size
@@ -81,7 +82,7 @@ class ShardedCompressedEngine:
         codewords = np.asarray(codewords, np.float32)
         M, K, Ds = codewords.shape
         self.codewords = jnp.asarray(codewords)
-        self.M, self.K, self.D = M, K, M * Ds
+        self.M, self.K, self.Ds, self.D = M, K, Ds, M * Ds
         self.d_pad = -(-self.D // 128) * 128
         self.mesh, self.axis = mesh, axis
         n_shards = mesh.devices.size
@@ -96,7 +97,9 @@ class ShardedCompressedEngine:
         if nt_pad != nt:
             rd_p = np.zeros((nt_pad,) + rd.shape[1:], rd.dtype)
             rd_p[:nt] = rd
-            rd_p[nt:, 0, 0] = 255  # first row of padding tiles: ovf
+            # first row of padding tiles: a full-code (overflow) row,
+            # all mask planes set
+            rd_p[nt:, :self.tiles.n_planes, 0] = _full_planes(M)
             ovf_p = np.zeros((nt_pad,) + ovf.shape[1:], ovf.dtype)
             ovf_p[:nt] = ovf
             rd, ovf = rd_p, ovf_p
@@ -121,6 +124,7 @@ class ShardedCompressedEngine:
                           jnp.asarray(qp[:, :self.D]))
         qc = qp - self.mu[None, :]
         q2 = jnp.asarray((qc * qc).sum(axis=1))
+        qk = fp.pack_query_grouped(qc[:, :self.D], self.M, self.Ds)
 
         per_shard_rows = (self.rd.shape[0]
                           // self.mesh.devices.size) * TILE
@@ -132,7 +136,7 @@ class ShardedCompressedEngine:
             self._fn = make_sharded_delta_query_fn(
                 self.mesh, top_k, ns, pool, self.tiles.S, self.axis)
         d, rows, ok = self._fn(
-            jnp.asarray(qc.astype(jnp.bfloat16).T), q2, table,
+            jnp.asarray(qk.astype(jnp.bfloat16).T), q2, table,
             self.cwbd, self.rd, self.ovf, jnp.int32(self.n_valid))
         self.last_exact_frac = float(jnp.mean(ok[:b]))
         rows = np.asarray(rows[:b]).astype(np.int64)

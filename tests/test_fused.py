@@ -131,6 +131,58 @@ def test_fused_decoded_gist_shape():
     np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)
 
 
+@pytest.fixture(scope="module")
+def gist_setup():
+    """GIST1M-config shapes: M=16, D=960 — two mask planes in the
+    delta-tile format, two subspace groups in the fused kernels."""
+    rng = np.random.default_rng(8)
+    M, K, Ds, n, B = 16, 32, 60, 4000, 16
+    cw = rng.normal(size=(M, K, Ds)).astype(np.float32)
+    # chain-correlated codes so the delta tiles actually compress
+    codes = np.empty((n, M), np.uint8)
+    codes[0] = rng.integers(0, K, size=M)
+    for i in range(1, n):
+        codes[i] = codes[i - 1]
+        for _ in range(rng.integers(1, 3)):
+            codes[i, rng.integers(0, M)] = rng.integers(0, K)
+    queries = rng.normal(size=(B, M * Ds)).astype(np.float32)
+    return cw, codes, queries
+
+
+def test_delta_tiles_roundtrip_m16(gist_setup):
+    cw, codes, _ = gist_setup
+    dt = build_delta_tiles(codes)
+    assert dt.n_planes == 2
+    assert np.array_equal(decode_delta_tiles(dt), codes)
+    assert dt.bytes_per_vec() < 8.0  # compresses vs 16 B/vec plain
+
+
+def test_fused_codes_m16_parity(gist_setup):
+    cw, codes, queries = gist_setup
+    d_ref, i_ref = query_plain(cw, queries, codes, top_k=100,
+                               engine="xla")
+    eng = FusedCodesEngine(cw, codes)
+    d, i = eng.query(queries, top_k=100)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)
+
+
+def test_fused_compressed_m16_parity(gist_setup):
+    cw, codes, queries = gist_setup
+    d_ref, i_ref = query_plain(cw, queries, codes, top_k=100,
+                               engine="xla")
+    eng = FusedCompressedEngine(cw, codes)
+    d, i = eng.query(queries, top_k=100)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)
+
+
+def test_fused_compressed_m16_int8(gist_setup):
+    cw, codes, queries = gist_setup
+    d_ref, _ = query_plain(cw, queries, codes, top_k=10, engine="xla")
+    eng = FusedCompressedEngine(cw, codes, precision="int8")
+    d, i = eng.query(queries, top_k=10)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)
+
+
 def test_fused_topk_near_database_size():
     """top_k close to (or beyond the candidate pool of) a tiny database
     must pad with (+inf, -1) instead of failing."""

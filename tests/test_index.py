@@ -124,3 +124,24 @@ def test_fused_search_with_deletes(built, small_dataset):
     live = np.isfinite(d[0])
     assert live.sum() == 10  # plenty of live rows remain
     assert not np.isin(i0[0, :5], i[0]).any()
+
+
+def test_index_m16_compressed(rng):
+    """GIST-shape (M=16) index: the DeltaTree builds (DFS order feeds
+    the fused compressed tier) but no DTC stream exists (the reference
+    byte format caps at M=8); search stays exact."""
+    from deltapq_tpu.ops.adc import query_plain
+
+    M, K, Ds, n = 16, 16, 4, 600
+    x = rng.normal(size=(n, M * Ds)).astype(np.float32)
+    idx = DeltaPQIndex.build(x, x, M=M, K=K, max_iters=10,
+                             engine="fused_compressed")
+    assert idx.tree is not None and idx._stream is None
+    q = x[:8] + 0.01
+    d, i = idx.search(q, top_k=5)
+    d_ref, _ = query_plain(idx.codewords, q, idx.codes, top_k=5,
+                           engine="xla")
+    np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)
+    st = idx.stats()
+    assert "bytes_per_vec" not in st
+    assert st["delta_tile_bytes_per_vec"] > 0

@@ -24,7 +24,7 @@ TILE, SUB = fp.TILE, fp.SUB
 
 
 def make_kernel(stages):
-    def kern(q_ref, cwbd_ref, n_valid_ref, rd_ref, ovf_ref, ut_ref,
+    def kern(q_ref, cwbd_ref, n_valid_ref, rd_ref, ovf_ref,
              out_ref, codes_out_ref, oh_ref, *, S):
         M = ovf_ref.shape[1]
         Cap = ovf_ref.shape[2]
@@ -51,9 +51,12 @@ def make_kernel(stages):
                 vj = rd[1 + j:2 + j, :]
                 H = jnp.where(fixed & (rank == j), vj, H)
         if "ovf" in stages:
-            ovf_rank = jnp.dot(is_ovf.astype(jnp.float32), ut_ref[:],
-                               preferred_element_type=jnp.float32
-                               ).astype(jnp.int32)
+            acc = is_ovf.astype(jnp.int32)
+            s = 1
+            while s < TILE:
+                acc = acc + fp._shift_right(acc, s, 0)
+                s *= 2
+            ovf_rank = acc - is_ovf.astype(jnp.int32)
             iota_c = jax.lax.broadcasted_iota(jnp.int32, (Cap, 1), 0)
             ohov = ((ovf_rank == iota_c) & is_ovf).astype(jnp.bfloat16)
             ovf_bf = ovf_ref[0].astype(jnp.int32).astype(jnp.bfloat16)
@@ -75,28 +78,26 @@ def make_kernel(stages):
     return kern
 
 
-def run_variant(name, stages, q, cwbd, rd, ovf, ut, N, S):
+def run_variant(name, stages, q, cwbd, rd, ovf, N, S):
     nt = rd.shape[0]
     M, Cap = ovf.shape[1], ovf.shape[2]
 
     @functools.partial(jax.jit, static_argnames=())
-    def call(q, cwbd, rd, ovf, ut):
+    def call(q, cwbd, rd, ovf):
         return fp._mins_call(
             functools.partial(make_kernel(stages), S=S),
             [pl.BlockSpec((1, 1 + S, TILE), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM),
              pl.BlockSpec((1, M, Cap), lambda i: (i, 0, 0),
-                          memory_space=pltpu.VMEM),
-             pl.BlockSpec((TILE, TILE), lambda i: (0, 0),
                           memory_space=pltpu.VMEM)],
-            [rd, ovf, ut], q, cwbd, jnp.int32(N), nt, M)
+            [rd, ovf], q, cwbd, jnp.int32(N), nt, M)
 
     @functools.partial(jax.jit, static_argnames=("iters",))
-    def loop(qf, cwbd, rd, ovf, ut, salt, iters):
+    def loop(qf, cwbd, rd, ovf, salt, iters):
         def body(i, acc):
             qq = (qf + (salt + i.astype(jnp.float32)) * 1e-4
                   ).astype(jnp.bfloat16)
-            mins, echo = call(qq, cwbd, rd, ovf, ut)
+            mins, echo = call(qq, cwbd, rd, ovf)
             return acc + jnp.sum(mins[:8]) + jnp.sum(echo[:1].astype(
                 jnp.float32))
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
@@ -104,13 +105,13 @@ def run_variant(name, stages, q, cwbd, rd, ovf, ut, N, S):
     qf = q.astype(jnp.float32)
     iters = (2, 12)
     for it in iters:
-        float(loop(qf, cwbd, rd, ovf, ut, jnp.float32(0), it))
+        float(loop(qf, cwbd, rd, ovf, jnp.float32(0), it))
     res = {}
     for it in iters:
         ts = []
         for k in range(3):
             t = time.perf_counter()
-            float(loop(qf, cwbd, rd, ovf, ut,
+            float(loop(qf, cwbd, rd, ovf,
                        jnp.float32(k + 7 * it + 1), it))
             ts.append(time.perf_counter() - t)
         res[it] = min(ts)
@@ -128,9 +129,6 @@ def main():
     eng = FusedCompressedEngine(cw, codes)
     S = eng.tiles.S
     q = jnp.asarray(rng.normal(size=(M * Ds, B)).astype(np.float32))
-    ut = (jnp.expand_dims(jnp.arange(TILE, dtype=jnp.int32), 1)
-          < jnp.expand_dims(jnp.arange(TILE, dtype=jnp.int32), 0)
-          ).astype(jnp.float32)
     variants = [
         ("tail_only", set()),
         ("rank", {"rank"}),
@@ -141,7 +139,7 @@ def main():
                              "transpose"}),
     ]
     for name, st in variants:
-        run_variant(name, st, q, eng.cwbd, eng.row_data, eng.ovf, ut,
+        run_variant(name, st, q, eng.cwbd, eng.row_data, eng.ovf,
                     N, S)
 
 
