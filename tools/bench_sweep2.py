@@ -50,21 +50,38 @@ def main():
     codes = make_clustered_codes(N, M, K)
     eng = FusedCompressedEngine(cw, codes, precision="int8")
     cwj = jnp.asarray(cw)
-    mu = jnp.asarray(eng.mu)
-    inv_s = jnp.float32(1.0 / eng.scale)
+    mu = np.asarray(eng.mu)
     s2 = jnp.float32(eng.scale * eng.scale)
-    ns_total = -(-N // fp.SUB)
+    # NS as the kernel produces it: padded rows / SUB (not ceil(N/SUB))
+    ns_total = eng.row_data.shape[0] * fp.TILE // fp.SUB
+
+    def quantize_queries(q_np):
+        """Same layout path the engine takes: center -> grouped pack ->
+        int8 quantize (bit-correct for any M, not just the M=8
+        one-group degenerate case)."""
+        qc = q_np - mu[None, :]
+        qk = fp.pack_query_grouped(qc[:, :D], M, Ds)
+        qop, invalid = __import__(
+            "deltapq_tpu.ops.fused", fromlist=["_mins_query_args"]
+        )._mins_query_args(qk, "int8", eng.scale)
+        assert invalid is None, "sweep queries must not clip"
+        return jnp.asarray(qc), qop
 
     def full(B, pool, ns):
-        qb = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+        q_np = rng.normal(size=(B, D)).astype(np.float32)
+        qb = jnp.asarray(q_np)
+        inv_s = jnp.float32(1.0 / eng.scale)
+        muj = jnp.asarray(mu)
 
         @functools.partial(jax.jit, static_argnames=("iters",))
         def bench(qb, cwbd, rd, ovf, salt, iters):
             def body(i, acc):
                 q = qb * (1.0 + (salt + i.astype(jnp.float32)) * 0.01)
                 tab = adc_table(cwj, q[:, :D])
-                qc = q - mu[None, :]
+                qc = q - muj[None, :]
                 q2 = jnp.sum(qc * qc, axis=1)
+                # in-graph quantize; layout == pack_query_grouped only
+                # because M=8 is one group (asserted below)
                 qq = jnp.clip(jnp.round(qc * inv_s), -127, 127
                               ).astype(jnp.int8)
                 mins, echo = fp.fused_delta_mins(
@@ -76,18 +93,38 @@ def main():
                 return acc + jnp.sum(d) + jnp.sum(r).astype(jnp.float32)
             return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
+        # the in-graph quantize above skips pack_query_grouped; that is
+        # bit-correct only when M fits one group (Dg_pad == D)
+        assert fp.group_geometry(M, Ds) == (1, M, D), \
+            "in-graph quantize shortcut requires the one-group layout"
+        # prove the config never escalates on this workload (numbers
+        # below are escalation-free by construction)
+        qc_chk, qop_chk = quantize_queries(q_np)
+        q2_chk = jnp.sum(qc_chk * qc_chk, axis=1)
+        tab_chk = adc_table(cwj, qb)
+        mins_c, echo_c = fp.fused_delta_mins(
+            qop_chk, eng.cwbd, eng.row_data, eng.ovf, jnp.int32(N),
+            eng.tiles.S)
+        _, _, ok_c = fp.select_rerank((mins_c * s2).T, q2_chk, tab_chk,
+                                      echo_c, jnp.int32(N), top_k, ns,
+                                      pool)
+        if not bool(jnp.all(ok_c)):
+            print(f"  [warn] B={B} pool={pool} ns={ns}: certificate "
+                  f"fails for {int(jnp.sum(~ok_c))} queries; timed "
+                  f"numbers exclude the escalation the engine would pay",
+                  flush=True)
+
         t = measure(lambda s, it: bench(qb, eng.cwbd, eng.row_data,
                                         eng.ovf, jnp.float32(s), it))
         return t
 
     # stage isolation at B=512
     B = 512
-    qb = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
-    qc0 = np.asarray(qb) - np.asarray(mu)[None, :]
-    qq0 = jnp.asarray(np.clip(np.rint(qc0 / eng.scale), -127, 127
-                              ).astype(np.int8).T)
+    q_np0 = rng.normal(size=(B, D)).astype(np.float32)
+    qb = jnp.asarray(q_np0)
+    qc0j, qq0 = quantize_queries(q_np0)
     tab0 = adc_table(cwj, qb)
-    q20 = jnp.sum(jnp.asarray(qc0) * jnp.asarray(qc0), axis=1)
+    q20 = jnp.sum(qc0j * qc0j, axis=1)
     mins0, echo0 = fp.fused_delta_mins(qq0, eng.cwbd, eng.row_data,
                                        eng.ovf, jnp.int32(N),
                                        eng.tiles.S)
