@@ -34,6 +34,7 @@ import numpy as np
 from .adc import adc_table
 from .decoded import build_decoded_cache
 from .delta_tiles import TILE, DeltaTiles, build_delta_tiles
+from .stream_tiles import StreamTiles, build_stream_tiles
 from . import fused_pallas as fp
 
 
@@ -248,7 +249,8 @@ class FusedCompressedEngine:
 
     def __init__(self, codewords: np.ndarray, codes_scan: np.ndarray,
                  row_to_db: Optional[np.ndarray] = None,
-                 S: Optional[int] = None, precision: str = "bf16"):
+                 S: Optional[int] = None, precision: str = "bf16",
+                 fmt: str = "stream"):
         codewords = np.asarray(codewords, np.float32)
         M, K, Ds = codewords.shape
         if K > 256:
@@ -259,11 +261,19 @@ class FusedCompressedEngine:
         self.M, self.K, self.Ds = M, K, Ds
         self.D = M * Ds
         self.d_pad = -(-self.D // 128) * 128
-        self.tiles: DeltaTiles = build_delta_tiles(
-            np.asarray(codes_scan), S=S)
+        self.fmt = fmt
+        if fmt == "stream":
+            self.tiles: StreamTiles = build_stream_tiles(
+                np.asarray(codes_scan))
+            self.vals = jnp.asarray(self.tiles.vals)
+            self.meta = jnp.asarray(self.tiles.meta)
+        elif fmt == "slots":
+            self.tiles = build_delta_tiles(np.asarray(codes_scan), S=S)
+            self.ovf = jnp.asarray(self.tiles.ovf)
+        else:
+            raise ValueError(f"unknown delta-tile format {fmt!r}")
         self.n_valid = self.tiles.n_valid
         self.row_data = jnp.asarray(self.tiles.row_data)
-        self.ovf = jnp.asarray(self.tiles.ovf)
         self.mu = np.zeros(self.d_pad, np.float32)
         self.mu[:self.D] = fp.codebook_center(codewords)
         self.precision = precision
@@ -281,11 +291,13 @@ class FusedCompressedEngine:
 
     @classmethod
     def from_tree(cls, codewords: np.ndarray, tree,
-                  S: Optional[int] = None) -> "FusedCompressedEngine":
+                  S: Optional[int] = None, precision: str = "bf16",
+                  fmt: str = "stream") -> "FusedCompressedEngine":
         codes_db = tree.decode_codes()
         codes_scan = codes_db[tree.vec_id.astype(np.int64)]
         return cls(codewords, codes_scan,
-                   row_to_db=tree.vec_id.astype(np.int64), S=S)
+                   row_to_db=tree.vec_id.astype(np.int64), S=S,
+                   precision=precision, fmt=fmt)
 
     def bytes_per_vec(self) -> float:
         return self.tiles.bytes_per_vec()
@@ -302,9 +314,14 @@ class FusedCompressedEngine:
         qk = fp.pack_query_grouped(qc_np[:, :self.D], self.M, self.Ds)
         qop, invalid = _mins_query_args(qk, self.precision,
                                         self.scale)
-        mins, codes_echo = fp.fused_delta_mins(
-            qop, self.cwbd, self.row_data, self.ovf,
-            jnp.int32(self.n_valid), self.tiles.S)
+        if self.fmt == "stream":
+            mins, codes_echo = fp.fused_stream_mins(
+                qop, self.cwbd, self.row_data, self.vals, self.meta,
+                jnp.int32(self.n_valid), self.tiles.e_max, self.M)
+        else:
+            mins, codes_echo = fp.fused_delta_mins(
+                qop, self.cwbd, self.row_data, self.ovf,
+                jnp.int32(self.n_valid), self.tiles.S)
         if self.precision == "int8":
             mins = mins * jnp.float32(self.scale * self.scale)
         d, rows, frac = _select_with_escalation(
@@ -319,15 +336,19 @@ class FusedCompressedEngine:
 
     def save(self, path: str) -> None:
         """Persist the delta tiles + mapping (staged-artifact model,
-        SURVEY §5): ~3 B/vec on disk, load is upload-only."""
-        np.savez(path,
-                 row_data=self.tiles.row_data, ovf=self.tiles.ovf,
-                 n_valid=self.n_valid, S=self.tiles.S,
-                 Cap=self.tiles.Cap, M=self.M,
-                 codewords=np.asarray(self.codewords),
-                 row_to_db=(np.asarray(self.row_to_db)
-                            if self.row_to_db is not None
-                            else np.zeros(0, np.int32)))
+        SURVEY §5): ~compressed size on disk, load is upload-only."""
+        common = dict(row_data=self.tiles.row_data,
+                      n_valid=self.n_valid, M=self.M, fmt=self.fmt,
+                      codewords=np.asarray(self.codewords),
+                      row_to_db=(np.asarray(self.row_to_db)
+                                 if self.row_to_db is not None
+                                 else np.zeros(0, np.int32)))
+        if self.fmt == "stream":
+            np.savez(path, vals=self.tiles.vals, meta=self.tiles.meta,
+                     e_max=self.tiles.e_max, **common)
+        else:
+            np.savez(path, ovf=self.tiles.ovf, S=self.tiles.S,
+                     Cap=self.tiles.Cap, **common)
 
     @classmethod
     def load(cls, path: str) -> "FusedCompressedEngine":
@@ -342,13 +363,22 @@ class FusedCompressedEngine:
         self.M, self.K, self.Ds = M, K, Ds
         self.D = M * Ds
         self.d_pad = -(-self.D // 128) * 128
-        self.tiles = DeltaTiles(
-            row_data=z["row_data"], ovf=z["ovf"],
-            n_valid=int(z["n_valid"]), M=int(z["M"]), S=int(z["S"]),
-            Cap=int(z["Cap"]))
+        self.fmt = str(z["fmt"]) if "fmt" in z else "slots"
+        if self.fmt == "stream":
+            self.tiles = StreamTiles(
+                row_data=z["row_data"], vals=z["vals"], meta=z["meta"],
+                n_valid=int(z["n_valid"]), M=int(z["M"]),
+                e_max=int(z["e_max"]))
+            self.vals = jnp.asarray(self.tiles.vals)
+            self.meta = jnp.asarray(self.tiles.meta)
+        else:
+            self.tiles = DeltaTiles(
+                row_data=z["row_data"], ovf=z["ovf"],
+                n_valid=int(z["n_valid"]), M=int(z["M"]),
+                S=int(z["S"]), Cap=int(z["Cap"]))
+            self.ovf = jnp.asarray(self.tiles.ovf)
         self.n_valid = self.tiles.n_valid
         self.row_data = jnp.asarray(self.tiles.row_data)
-        self.ovf = jnp.asarray(self.tiles.ovf)
         self.mu = np.zeros(self.d_pad, np.float32)
         self.mu[:self.D] = fp.codebook_center(codewords)
         self.precision = "bf16"

@@ -354,6 +354,175 @@ def _delta_mins_kernel(q_ref, cwbd_ref, n_valid_ref, rd_ref,
                codes_out_ref, oh_ref)
 
 
+def _stream_mins_kernel(meta_ref, q_ref, cwbd_ref, n_valid_ref, rd_ref,
+                        vals_ref, out_ref, codes_out_ref, oh_ref,
+                        win_ref, sem_ref, *, M: int, W_A: int, nt: int):
+    """Stream-tile decode + scan (format v2, ``stream_tiles.py``).
+
+    rd [1, P, TILE] u8 mask planes; vals [A, 8, 128] u8 stays in HBM
+    (``pl.ANY``) — each tile's value window is DMA'd at a dynamic
+    offset (``meta`` [2, nT] SMEM: w0 group, rem), double-buffered so
+    tile i+1's fetch overlaps tile i's decode+matmul.
+
+    Row values are reconstructed with a two-level one-hot gather over
+    the chunk structure (position p -> chunk e = p//8, lane l = p%8):
+    per gather plane g, an [128, TILE] chunk-column one-hot feeds W_A
+    narrow [8, 128] x [128, TILE] matmuls (window-group selection is a
+    [1, TILE] mask multiply), then a roll-select aligns each row's
+    first value to plane 0 and a rank-select scatters values to their
+    subspaces.  Decode cost is independent of the stream density —
+    dense tiles only grow the DMA window.
+    """
+    P = (M + 7) // 8
+    G = (7 + M + 7) // 8          # 8-value chunks one row can span
+    i = pl.program_id(0)
+    slot = jax.lax.rem(i, 2)
+    nxt_slot = jax.lax.rem(i + 1, 2)
+
+    @pl.when(i == 0)
+    def _():
+        pltpu.make_async_copy(
+            vals_ref.at[pl.ds(meta_ref[0, 0], W_A)],
+            win_ref.at[0], sem_ref.at[0]).start()
+
+    @pl.when(i + 1 < nt)
+    def _():
+        pltpu.make_async_copy(
+            vals_ref.at[pl.ds(meta_ref[0, i + 1], W_A)],
+            win_ref.at[nxt_slot], sem_ref.at[nxt_slot]).start()
+
+    pltpu.make_async_copy(
+        vals_ref.at[pl.ds(meta_ref[0, i], W_A)],
+        win_ref.at[slot], sem_ref.at[slot]).wait()
+
+    rd = rd_ref[0].astype(jnp.int32)                       # [P, TILE]
+    planes = []
+    for p in range(P):
+        mp = min(8, M - 8 * p)
+        iota_p = jax.lax.broadcasted_iota(jnp.int32, (mp, 1), 0)
+        planes.append((rd[p:p + 1, :] >> iota_p) & 1)
+    bitm = (jnp.concatenate(planes, axis=0) if P > 1
+            else planes[0])                                # [M, TILE]
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
+           < jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
+           ).astype(jnp.bfloat16)
+    rank = jnp.dot(tri, bitm.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32).astype(jnp.int32)
+    nd = jnp.sum(bitm, axis=0, keepdims=True)              # [1, TILE]
+
+    # exclusive prefix sum of nd along lanes -> per-row value offset
+    acc = nd
+    s = 1
+    while s < TILE:
+        acc = acc + _shift_right(acc, s, 0)
+        s *= 2
+    p0 = (acc - nd) + meta_ref[1, i]                       # [1, TILE]
+    e0 = p0 // 8
+    a0 = p0 % 8
+
+    win = win_ref[slot].astype(jnp.int32).astype(
+        jnp.bfloat16)                                 # [W_A, 8, 128]
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (128, TILE), 0)
+    ys = []
+    for g in range(G):
+        e_g = e0 + g
+        w_g = e_g // 128
+        c_g = e_g % 128
+        ohc = (iota_c == c_g).astype(jnp.bfloat16)         # [128, TILE]
+        yg = jnp.zeros((8, TILE), jnp.float32)
+        for w in range(W_A):
+            tw = jnp.dot(win[w], ohc,
+                         preferred_element_type=jnp.float32)
+            yg = yg + tw * (w_g == w).astype(jnp.float32)
+        ys.append(yg)
+    yc = jnp.concatenate(ys, axis=0)                       # [G*8, TILE]
+
+    # align: V[u] = yc[a0 + u] via roll-select over the 8 offsets
+    gt = G * 8
+    v = jnp.zeros((M, TILE), jnp.float32)
+    for s_ in range(8):
+        r = pltpu.roll(yc, (gt - s_) % gt, axis=0) if s_ else yc
+        v = v + r[:M] * (a0 == s_).astype(jnp.float32)
+
+    # scatter by rank: H[m] = V[rank[m]] where the mask bit is set
+    h = jnp.zeros((M, TILE), jnp.float32)
+    for u in range(M):
+        h = h + v[u:u + 1] * (rank == u).astype(jnp.float32)
+    hi = jnp.where(bitm == 1, h.astype(jnp.int32), -1)     # [M, TILE]
+
+    # forward-fill along the lanes (i32: Mosaic lane rolls are 32-bit)
+    s = 1
+    while s < TILE:
+        hi = jnp.where(hi >= 0, hi, _shift_right(hi, s, -1))
+        s *= 2
+
+    _scan_tail(hi.T, q_ref, cwbd_ref, n_valid_ref,
+               out_ref, codes_out_ref, oh_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("e_max", "M"))
+def fused_stream_mins(q: jnp.ndarray, cwbd: jnp.ndarray,
+                      row_data: jnp.ndarray, vals: jnp.ndarray,
+                      meta: jnp.ndarray, n_valid: jnp.ndarray,
+                      e_max: int, M: int
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stream tier: row_data [nT, P, TILE] u8 mask planes; vals
+    [A, 8, 128] u8 packed value stream (HBM-resident, windowed by
+    DMA); meta [2, nT] i32.  Returns (mins [NS, B] f32, decoded codes
+    [N_pad, M] u8)."""
+    from .stream_tiles import window_groups
+
+    D, B = q.shape
+    nt, P, _ = row_data.shape
+    MKs = cwbd.shape[0]
+    G_, Mg = _groups_of(M)
+    W_A = window_groups(M, e_max)
+    ns = TILE // SUB
+    MgK = MKs // G_
+    return pl.pallas_call(
+        functools.partial(_stream_mins_kernel, M=M, W_A=W_A, nt=nt),
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((2, nt), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((D, B), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((MKs, cwbd.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, P, TILE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((ns, B), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, M), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nt * ns, B), jnp.float32),
+            jax.ShapeDtypeStruct((nt * TILE, M), jnp.uint8),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TILE, MgK),
+                       jnp.int8 if cwbd.dtype == jnp.int8
+                       else jnp.bfloat16),
+            pltpu.VMEM((2, W_A, 8, 128), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nt * TILE * (MKs * cwbd.shape[1] + D * B),
+            bytes_accessed=nt * (P * TILE + W_A * 1024)
+            + MKs * cwbd.shape[1] * 2 + D * B * 2
+            + nt * ns * B * 4 + nt * TILE * M,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(meta, q, cwbd, jnp.asarray(n_valid, jnp.int32).reshape(1, 1),
+      row_data, vals)
+
+
 def quantize_blockdiag_int8(cwbd_bf16_or_cw, center=None):
     """Codebook -> (int8 block-diagonal decode matrix, scale).  Values
     quantize symmetrically at scale = max|c|/127; the int8 tiers use

@@ -142,7 +142,7 @@ def ancestor_max_dists(codes: np.ndarray, parents: np.ndarray,
 
 def build_layout(codes: np.ndarray, edges: np.ndarray, root_id: int,
                  K: int, codewords: Optional[np.ndarray] = None,
-                 tables=None) -> DeltaTree:
+                 tables=None, child_order: str = "dist") -> DeltaTree:
     """edges [E, 2] (parent, child) + root -> DFS SoA DeltaTree.
 
     tables: [M, K, K] inter-centroid distances, or the string "skip"
@@ -150,6 +150,15 @@ def build_layout(codes: np.ndarray, edges: np.ndarray, root_id: int,
     the max_dist2p child ordering are O(16 N) table lookups; skipping
     them zeroes the pruning bounds (unused by the tile-scan engines)
     and keeps children in natural order.
+
+    child_order: sibling order within each node's child slice — free
+    w.r.t. losslessness (any DFS of the same tree decodes the same
+    codes).  "dist" = descending max_dist2p (reference pruning
+    semantics, :1421-1426; natural order in light mode).  "code" =
+    lexicographic by child code: consecutive DFS siblings then share
+    changed-subspace patterns, which is what the sequential delta-tile
+    format (``ops/delta_tiles.py``) compresses — use for the fused
+    compressed tier.
     """
     codes = np.asarray(codes)
     n, M = codes.shape
@@ -170,11 +179,15 @@ def build_layout(codes: np.ndarray, edges: np.ndarray, root_id: int,
         max_dists, max_dist2p = ancestor_max_dists(codes, parents,
                                                    tables)
 
-    # CSR adjacency with children sorted by descending max_dist2p
-    # (reference sorts each node's child slice, :1421-1426)
+    # CSR adjacency with children sorted per child_order
     child = np.flatnonzero(parents >= 0)
     par = parents[child]
-    order = np.lexsort((-max_dist2p[child], par))
+    if child_order == "code":
+        ckeys = codes[child]
+        order = np.lexsort(tuple(ckeys[:, m] for m in range(M - 1, -1, -1))
+                           + (par,))
+    else:
+        order = np.lexsort((-max_dist2p[child], par))
     child_sorted = child[order]
     par_sorted = par[order]
     counts = np.bincount(par_sorted, minlength=n)

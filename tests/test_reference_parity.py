@@ -160,3 +160,153 @@ def test_reference_query_top1_distance_matches(ref_dataset):
                              engine="xla")
     np.testing.assert_allclose(ref_top1, d_plain[:, 0], rtol=5e-4,
                                atol=1e-2)
+
+
+def _ref_stream_nbytes(path):
+    with open(path, "rb") as f:
+        n_codes = int(np.fromfile(f, np.int64, 1)[0])
+        n_bytes = int(np.fromfile(f, np.int64, 1)[0])
+    return n_codes, n_bytes
+
+
+def _our_dtc_bytes(codes, K):
+    """Our full build on the given codes -> DTC stream length."""
+    from deltapq_tpu.tree.build import find_edges_by_diff
+    from deltapq_tpu.tree.layout import build_layout
+    from deltapq_tpu.tree.serialize import serialize_dtc
+
+    res = find_edges_by_diff(codes, K=K, method=1)
+    tree = build_layout(codes, res.edges, res.root_id, K=K,
+                        tables="skip")
+    return len(serialize_dtc(tree)), res.n_diffs
+
+
+def test_compression_ratio_parity(ref_dataset):
+    """Build-QUALITY parity (not just losslessness): our approx star
+    forest built on the reference's OWN code file must serialize to a
+    DTC stream within 5% of the size the reference binary produced.
+    Both sides emit the identical byte format whose size is
+    ``M + n_diffs + ceil(1.5 (N-1))`` (``deltapq_create_approx_tree.h:
+    1765``), so this bounds total-diff-count parity too."""
+    root, _ = ref_dataset
+    ref_codes, _ = read_codes(
+        os.path.join(root, f"codes.bin.plain.M{M}K{K}N{N}"), M=M, K=K)
+    n_codes, ref_nbytes = _ref_stream_nbytes(os.path.join(
+        root, f"M{M}K{K}_Approx_compressed_codes_opt_N{N}"))
+    assert n_codes == N
+    ours, n_diffs = _our_dtc_bytes(ref_codes, K)
+    ref_ndiffs = ref_nbytes - M - (3 * (N - 1) + 1) // 2
+    assert ours <= ref_nbytes * 1.05, (
+        f"our stream {ours} B vs reference {ref_nbytes} B "
+        f"(our diffs {n_diffs} vs ref {ref_ndiffs})")
+
+
+# ---------------------------------------------------------------------------
+# Scaled parity (N >= 100K) + GIST-shaped config — marked slow; run with
+# DELTAPQ_RUN_SLOW=1 (each builds a fresh reference pipeline, minutes).
+# ---------------------------------------------------------------------------
+
+run_slow = os.environ.get("DELTAPQ_RUN_SLOW") == "1"
+slow = pytest.mark.skipif(not run_slow,
+                          reason="set DELTAPQ_RUN_SLOW=1 for large-N "
+                                 "reference-parity runs")
+
+
+def _make_ref_pipeline(root, n, dim, m, nlearn, nq, ncl, seed=7):
+    """Generate data, run the reference learn/encode/approx_tree (+
+    groundtruth/recall when asked) in ``root``."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(ncl, dim)).astype(np.float32) * 4
+
+    def mk(k):
+        a = rng.integers(0, ncl, k)
+        return (centers[a]
+                + rng.normal(size=(k, dim)).astype(np.float32))
+
+    write_vecs(os.path.join(root, "base.fvecs"), mk(n))
+    write_vecs(os.path.join(root, "learn.fvecs"), mk(nlearn))
+    write_vecs(os.path.join(root, "query.fvecs"), mk(nq))
+
+    def run(binary, *args):
+        return subprocess.run(
+            [os.path.join(REF_BUILD, binary), "-dataset", root,
+             "-ext", "fvecs", *args],
+            check=True, capture_output=True, text=True, timeout=3600)
+
+    run("pqtree", "-task", "learn", "-m", str(m), "-k", str(K),
+        "-train_size", str(nlearn))
+    run("pqtree", "-task", "encode", "-m", str(m), "-k", str(K))
+    return run
+
+
+def _ref_recall_at10(run, root, n, m, nq):
+    """Reference groundtruth + recall tasks; returns its printed
+    recall@10 (main.cpp:727-803; the groundtruth filename it reads is
+    hardcoded to Top10000, so the Top10 file is aliased)."""
+    os.makedirs(os.path.join(root, "groundtruth"), exist_ok=True)
+    run("pqtree", "-task", "groundtruth", "-m", str(m), "-k", str(K),
+        "-N", str(n), "-topk", "10", "-query_size", str(nq))
+    src = os.path.join(root, "groundtruth", f"N{n}Top10.txt")
+    dst = os.path.join(root, "groundtruth", f"N{n}Top10000.txt")
+    if not os.path.exists(dst):
+        os.link(src, dst)
+    out = run("pqtree", "-task", "recall", "-m", str(m), "-k", str(K),
+              "-N", str(n), "-topk", "10", "-query_size", str(nq))
+    nums = re.findall(r"^([01](?:\.\d+)?(?:e-?\d+)?)$", out.stdout, re.M)
+    assert nums, f"no recall line in: {out.stdout[-500:]}"
+    return float(nums[-1])
+
+
+def _our_recall_at10(root, n, m, nq):
+    """Our plain-path recall@10 on the REFERENCE's codes + groundtruth
+    (isolates ranking parity from training noise)."""
+    from deltapq_tpu.io import read_groundtruth, read_vecs
+    from deltapq_tpu.eval.metrics import recall_at_k
+
+    cw = read_codewords(os.path.join(root, f"M{m}K{K}codewords.txt"))
+    codes, _ = read_codes(
+        os.path.join(root, f"codes.bin.plain.M{m}K{K}N{n}"), M=m, K=K)
+    queries = read_vecs(os.path.join(root, "query.fvecs"))[:nq]
+    _, ids = query_plain(cw, queries, codes, top_k=10, engine="xla")
+    gt_ids, _ = read_groundtruth(
+        os.path.join(root, "groundtruth", f"N{n}Top10.txt"))
+    return float(recall_at_k(ids, gt_ids[:, :10], k=10))
+
+
+@slow
+def test_parity_100k_compression_and_recall(tmp_path):
+    """VERDICT r2 #3/#8: 100K-row reference parity — DTC size within
+    5% on identical codes, and plain-path recall@10 equal to the
+    reference binary's own printed recall."""
+    n, dim, m, nq = 100_000, 32, 8, 100
+    root = str(tmp_path)
+    run = _make_ref_pipeline(root, n, dim, m, nlearn=10_000, nq=nq,
+                             ncl=2000)
+    run("deltapq", "-task", "approx_tree", "-m", str(m), "-k", str(K),
+        "-h", "1", "-diff", str(m), "-N", str(n))
+    ref_codes, _ = read_codes(
+        os.path.join(root, f"codes.bin.plain.M{m}K{K}N{n}"), M=m, K=K)
+    n_codes, ref_nbytes = _ref_stream_nbytes(os.path.join(
+        root, f"M{m}K{K}_Approx_compressed_codes_opt_N{n}"))
+    assert n_codes == n
+    ours, n_diffs = _our_dtc_bytes(ref_codes, K)
+    assert ours <= ref_nbytes * 1.05, (ours, ref_nbytes)
+
+    rec_ref = _ref_recall_at10(run, root, n, m, nq)
+    rec_ours = _our_recall_at10(root, n, m, nq)
+    assert abs(rec_ours - rec_ref) <= 0.002, (rec_ours, rec_ref)
+
+
+@slow
+def test_parity_gist_shape_plain_recall(tmp_path):
+    """GIST1M-shaped config (960-dim, M=16) plain-path parity vs the
+    compiled reference: recall@10 equality on its codes/groundtruth
+    (BASELINE config 3 shape; DTC serialization is M<=8-only in the
+    reference format, so the compressed leg does not apply)."""
+    n, dim, m, nq = 100_000, 960, 16, 20
+    root = str(tmp_path)
+    run = _make_ref_pipeline(root, n, dim, m, nlearn=5_000, nq=nq,
+                             ncl=2000)
+    rec_ref = _ref_recall_at10(run, root, n, m, nq)
+    rec_ours = _our_recall_at10(root, n, m, nq)
+    assert abs(rec_ours - rec_ref) <= 0.005, (rec_ours, rec_ref)
