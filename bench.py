@@ -5,13 +5,16 @@ Prints ONE JSON line:
    "vs_baseline": R}
 
 The measured engine is the system's namesake capability: top-k query
-**over the delta-compressed code representation** (~3 B/vec resident
-vs 8 plain / 256+ decoded), decoded entirely inside the fused Pallas
-scan kernel (``ops/fused_pallas.py``) with exact f32 reranked
-distances.  Workload: SIFT1M-scale clustered synthetic codes (N=1M,
-M=8, K=256 — the regime DeltaPQ compresses), query batches of 512,
-top-10.  The timed region is the full pipeline: ADC table build +
-fused delta-decode scan + subtile selection + exact rerank.
+**over the delta-compressed code representation** (stream tiles at
+~1-3 B/vec resident vs 8 plain / 256+ decoded), decoded entirely
+inside the fused Pallas scan kernel (``ops/fused_pallas.py``) with
+exact f32 reranked distances.  Workload: SIFT1M-scale clustered
+synthetic codes (N=1M, M=8, K=256 — the regime DeltaPQ compresses),
+packed in the **DeltaTree's DFS order** (the reference-faithful scan
+order, built by ``tree/build.py`` method 1; the lexsort-order A/B is
+printed on stderr), query batches of 512, top-10.  The timed region
+is the full pipeline: ADC table build + fused stream-decode scan +
+subtile selection + exact rerank.
 
 The engine matrix (this + the decoded bf16 tier + the plain scans) is
 reported on stderr and recorded in docs/ARCHITECTURE.md.
@@ -131,12 +134,25 @@ def main():
             "vs_baseline": round(qps / BASELINE_QPS, 2)}))
         return
 
+    # DeltaTree build (reference method 1) -> DFS scan order: the
+    # namesake data structure is what gets benchmarked
+    from deltapq_tpu.ops.stream_tiles import build_stream_tiles
+    from deltapq_tpu.tree.build import find_edges_by_diff
+    from deltapq_tpu.tree.layout import build_layout
+
+    res = find_edges_by_diff(codes, K=K, method=1)
+    tree = build_layout(codes, res.edges, res.root_id, K=K,
+                        tables="skip")
+    order = tree.vec_id.astype(np.int64)
+    bpv_lex = build_stream_tiles(codes).bytes_per_vec()
+
     # int8 mode: 2x-rate MXU decode/distance matmuls; shortlist-only
     # precision, reported distances stay exact via the f32 rerank
     # (verified dists_match + id_agree=1.0 at this scale)
-    eng = FusedCompressedEngine(cw, codes, precision="int8")
+    eng = FusedCompressedEngine(cw, codes[order], row_to_db=order,
+                                precision="int8")
     bpv = eng.bytes_per_vec()
-    ns_total = -(-N // fp.SUB)
+    ns_total = eng.row_data.shape[0] * fp.TILE // fp.SUB
     pool = _pool_for(ns_total)
     ns = _default_n_sub(top_k, -(-ns_total // pool), fp.SUB * pool)
     cwj = jnp.asarray(cw)
@@ -146,7 +162,7 @@ def main():
     s2 = jnp.float32(eng.scale * eng.scale)
 
     @functools.partial(jax.jit, static_argnames=("iters",))
-    def bench(qb, cwbd, rd, ovf, salt, iters):
+    def bench(qb, cwbd, rd, vals, meta, salt, iters):
         def body(i, acc):
             # multiplicative salt: additive 1e-6 rounds away in the
             # int8/bf16 casts and the relay then caches the dispatch
@@ -156,8 +172,9 @@ def main():
             q2 = jnp.sum(qc * qc, axis=1)
             qq = jnp.clip(jnp.round(qc * inv_s), -127, 127
                           ).astype(jnp.int8)
-            mins, echo = fp.fused_delta_mins(
-                qq.T, cwbd, rd, ovf, jnp.int32(N), eng.tiles.S)
+            mins, echo = fp.fused_stream_mins(
+                qq.T, cwbd, rd, vals, meta, jnp.int32(N),
+                eng.tiles.e_max, M)
             mins = mins * s2
             d, r, ok = fp.select_rerank(mins.T, q2, tab, echo,
                                         jnp.int32(N), top_k, ns, pool)
@@ -166,7 +183,8 @@ def main():
 
     qj = jnp.asarray(qb)
     run = lambda q_, salt, it: bench(  # noqa: E731
-        q_, eng.cwbd, eng.row_data, eng.ovf, jnp.float32(salt), it)
+        q_, eng.cwbd, eng.row_data, eng.vals, eng.meta,
+        jnp.float32(salt), it)
     per_batch = measure(run, (qj,))
     qps = B / per_batch
 
@@ -185,9 +203,10 @@ def main():
         "unit": "queries/s",
         "vs_baseline": round(qps / BASELINE_QPS, 2),
     }))
-    print(f"# engine=fused-compressed-int8 {per_batch*1000:.2f} ms/batch of "
+    print(f"# engine=fused-stream-int8 {per_batch*1000:.2f} ms/batch of "
           f"{B} (N={N}, M={M}, K={K}, top_k={top_k}); "
-          f"{bpv:.2f} B/vec resident (vs {M} plain); "
+          f"{bpv:.2f} B/vec resident in tree-DFS order "
+          f"(lexsort A/B: {bpv_lex:.2f}; plain {M}); "
           f"dists_exact_vs_plain_scan={exact}", file=sys.stderr)
 
 

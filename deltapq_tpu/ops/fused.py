@@ -10,8 +10,10 @@ engine                  HBM B/vec     kernel input
 ======================  ============  =================================
 FusedDecodedEngine      D*2 + 4       bf16 decoded cache (fastest)
 FusedCodesEngine        M             u8 codes, one-hot decode on MXU
-FusedCompressedEngine   ~3 (data-     delta tiles (mask+slots+overflow)
-                        dependent)    decoded fully in-kernel
+FusedCompressedEngine   1+diffs/row   stream tiles (mask planes + one
+                        (data-dep.)   packed value stream), decoded
+                                      fully in-kernel; fmt="slots"
+                                      keeps the fixed-slot v1 tiles
 ======================  ============  =================================
 
 The compressed engine is the TPU realization of the reference's
@@ -240,8 +242,13 @@ class FusedCodesEngine:
 
 
 class FusedCompressedEngine:
-    """Compressed tier: delta tiles resident (~3 B/vec on clustered
-    data); full decode happens inside the scan kernel.
+    """Compressed tier: delta-compressed tiles resident; full decode
+    happens inside the scan kernel.
+
+    fmt="stream" (default): packed value stream at ~(1 + diffs/row)
+    B/vec — the information content of the reference's DTC stream
+    (``deltapq_create_approx_tree.h:1765``).  fmt="slots": the v1
+    fixed-slot tiles (S inline slots + overflow bank).
 
     Build from a DeltaTree (DFS order = tile order) or from raw codes
     plus an explicit scan order.
