@@ -132,7 +132,7 @@ class BigCompressedIndex:
 
     def __init__(self, codewords: np.ndarray, codes: np.ndarray,
                  n_parts: int = 16, method: int = 1, workers: int = 2,
-                 batch_b: int = 128):
+                 batch_b: int = 128, precision: str = "int8"):
         from .ops.fused import FusedCompressedEngine
 
         K = codewords.shape[1]
@@ -140,8 +140,12 @@ class BigCompressedIndex:
             np.asarray(codes), n_parts=n_parts, K=K, method=method,
             workers=workers)
         codes_scan = np.asarray(codes)[self.row_to_db]
+        # int8 default: the shortlist scan runs at the MXU's 2x int8
+        # rate (exactness restored by the f32 rerank + certificate);
+        # bf16 measured ~2x slower at 100M (BIGRUN round 2)
         self.engine = FusedCompressedEngine(
-            codewords, codes_scan, row_to_db=self.row_to_db)
+            codewords, codes_scan, row_to_db=self.row_to_db,
+            precision=precision)
         self.batch_b = batch_b
 
     def bytes_per_vec(self) -> float:
@@ -149,3 +153,92 @@ class BigCompressedIndex:
 
     def query(self, queries: np.ndarray, top_k: int = 10):
         return self.engine.query(queries, top_k=top_k)
+
+
+class ChunkedCompressedEngine:
+    """Compressed tier split into row chunks — the out-of-core /
+    beyond-HBM query path.
+
+    The reference queries N~1.5e9 by streaming the DTC byte stream
+    from disk in 4KB O_DIRECT blocks per query
+    (``deltapq_create_approx_tree.h:2805-2984``, ``:2816-2822``).  The
+    TPU analog: stream tiles live in HOST memory (numpy), and each
+    query batch uploads one chunk at a time, scans it with the fused
+    kernel, selects exact per-chunk top-k, and merges across chunks
+    (top-k of the concatenated candidates — exact, since per-chunk
+    results are exact).  ``resident=True`` keeps every chunk's tiles
+    on device (upload once) — that mode exists because one kernel call
+    over 10^8+ rows would also need a [2, N/1024] i32 tile-meta block
+    in SMEM (~0.8 MB at 1e8), past what a single Pallas call should
+    carry; chunking bounds it.
+
+    Exactness: each chunk engine reranks in exact f32 with its own
+    certificate/escalation, so the merged top-k equals the plain-scan
+    top-k (modulo equal-distance ties, as in the reference).
+    """
+
+    #: default rows per chunk (multiple of the kernel TILE)
+    CHUNK_ROWS = 16 * 1024 * 1024
+
+    def __init__(self, codewords: np.ndarray, codes_scan: np.ndarray,
+                 row_to_db: Optional[np.ndarray] = None,
+                 precision: str = "int8", chunk_rows: int = CHUNK_ROWS,
+                 resident: bool = True):
+        from .ops.fused import FusedCompressedEngine
+
+        n = len(codes_scan)
+        chunk_rows = max(1024, (chunk_rows // 1024) * 1024)
+        self.resident = resident
+        self.chunks: List = []
+        self._host: List = []
+        for lo in range(0, n, chunk_rows):
+            hi = min(lo + chunk_rows, n)
+            ids = (np.asarray(row_to_db)[lo:hi]
+                   if row_to_db is not None
+                   else np.arange(lo, hi, dtype=np.int64))
+            if resident:
+                self.chunks.append(FusedCompressedEngine(
+                    codewords, codes_scan[lo:hi], row_to_db=ids,
+                    precision=precision))
+            else:
+                # defer tile upload to query time: store numpy tiles
+                from .ops.stream_tiles import build_stream_tiles
+                self._host.append((build_stream_tiles(
+                    codes_scan[lo:hi]), ids))
+        self.codewords = np.asarray(codewords, np.float32)
+        self.precision = precision
+
+    def bytes_per_vec(self) -> float:
+        if self.resident:
+            tot = sum(e.tiles.row_data.nbytes + e.tiles.vals.nbytes
+                      for e in self.chunks)
+            nv = sum(e.n_valid for e in self.chunks)
+        else:
+            tot = sum(st.row_data.nbytes + st.vals.nbytes
+                      for st, _ in self._host)
+            nv = sum(st.n_valid for st, _ in self._host)
+        return tot / max(nv, 1)
+
+    def query(self, queries: np.ndarray, top_k: int = 10
+              ) -> Tuple[np.ndarray, np.ndarray]:
+        from .ops.fused import FusedCompressedEngine
+
+        parts_d, parts_i = [], []
+        if self.resident:
+            engines = self.chunks
+        else:
+            # upload one chunk at a time (the O_DIRECT-refill analog);
+            # device arrays are dropped after each chunk's scan
+            engines = (FusedCompressedEngine.from_tiles(
+                self.codewords, st, row_to_db=ids,
+                precision=self.precision)
+                for st, ids in self._host)
+        for eng in engines:
+            d, i = eng.query(queries, top_k=top_k)
+            parts_d.append(d)
+            parts_i.append(i)
+        d_all = np.concatenate(parts_d, axis=1)
+        i_all = np.concatenate(parts_i, axis=1)
+        order = np.argsort(d_all, axis=1, kind="stable")[:, :top_k]
+        return (np.take_along_axis(d_all, order, axis=1),
+                np.take_along_axis(i_all, order, axis=1))

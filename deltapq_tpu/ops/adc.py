@@ -28,14 +28,25 @@ def adc_table(codewords: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
 
     codewords f32[M, K, Ds]; queries f32[B, D] (D = M*Ds, zero-padded by
     caller if needed).  Matches ``PQ::DTable`` (``pq.cpp:219-237``).
+
+    The cross term runs as ONE [B, D] x [D, M*K] matmul against a
+    block-diagonal codeword matrix: queries are consumed in their
+    native layout (no [B, M, Ds] relayout / per-m matvec splits — the
+    batched-einsum form measured 0.77 ms/batch at B=512 vs ~0.1 here).
+    Off-block zeros contribute exact 0 terms, and the MXU pads the
+    16-wide per-subspace contraction to 128 either way.
     """
     M, K, Ds = codewords.shape
     B = queries.shape[0]
     qs = queries.reshape(B, M, Ds)
     q2 = jnp.sum(qs * qs, axis=2)  # [B, M]
     c2 = jnp.sum(codewords * codewords, axis=2)  # [M, K]
-    cross = jnp.einsum("bmd,mkd->bmk", qs, codewords,
-                       preferred_element_type=jnp.float32)
+    eye = jnp.eye(M, dtype=codewords.dtype)
+    bd = (codewords.transpose(0, 2, 1)[:, :, None, :]
+          * eye[:, None, :, None]).reshape(M * Ds, M * K)
+    cross = jnp.dot(queries, bd,
+                    preferred_element_type=jnp.float32
+                    ).reshape(B, M, K)
     return q2[:, :, None] - 2.0 * cross + c2[None]
 
 

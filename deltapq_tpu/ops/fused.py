@@ -306,6 +306,46 @@ class FusedCompressedEngine:
                    row_to_db=tree.vec_id.astype(np.int64), S=S,
                    precision=precision, fmt=fmt)
 
+    @classmethod
+    def from_tiles(cls, codewords: np.ndarray, tiles: "StreamTiles",
+                   row_to_db: Optional[np.ndarray] = None,
+                   precision: str = "bf16"
+                   ) -> "FusedCompressedEngine":
+        """Engine over pre-built stream tiles.  Construction cost is
+        the device upload only — the out-of-core path
+        (``bigscale.ChunkedCompressedEngine``) uses this to stream
+        host-resident chunks through the chip per query batch (the
+        reference's O_DIRECT refill, ``deltapq_create_approx_tree.h:
+        2816-2822``)."""
+        codewords = np.asarray(codewords, np.float32)
+        M, K, Ds = codewords.shape
+        self = cls.__new__(cls)
+        self.codewords = jnp.asarray(codewords)
+        self.M, self.K, self.Ds = M, K, Ds
+        self.D = M * Ds
+        self.d_pad = -(-self.D // 128) * 128
+        self.fmt = "stream"
+        self.tiles = tiles
+        self.vals = jnp.asarray(tiles.vals)
+        self.meta = jnp.asarray(tiles.meta)
+        self.n_valid = tiles.n_valid
+        self.row_data = jnp.asarray(tiles.row_data)
+        self.mu = np.zeros(self.d_pad, np.float32)
+        self.mu[:self.D] = fp.codebook_center(codewords)
+        self.precision = precision
+        if precision == "int8":
+            cwq, self.scale = fp.quantize_blockdiag_int8(
+                codewords, center=self.mu[:self.D])
+            self.cwbd = jnp.asarray(cwq)
+        else:
+            self.scale = None
+            self.cwbd = jnp.asarray(fp.build_blockdiag_codebook(
+                codewords, center=self.mu[:self.D]))
+        self.row_to_db = (jnp.asarray(
+            np.asarray(row_to_db).astype(np.int32))
+            if row_to_db is not None else None)
+        return self
+
     def bytes_per_vec(self) -> float:
         return self.tiles.bytes_per_vec()
 

@@ -460,6 +460,169 @@ def _stream_mins_kernel(meta_ref, q_ref, cwbd_ref, n_valid_ref, rd_ref,
                out_ref, codes_out_ref, oh_ref)
 
 
+def _stream_decode(rd, win, rem_i, M: int):
+    """Decode one stream tile: mask planes + value window -> codes
+    H [M, TILE] i32.  rd [P, TILE] i32; win [W_A, 8, 128] u8 (the
+    tile's DMA'd value window); rem_i scalar i32 (in-window start)."""
+    P = (M + 7) // 8
+    G = (7 + M + 7) // 8
+    W_A = win.shape[0]
+    planes = []
+    for p in range(P):
+        mp = min(8, M - 8 * p)
+        iota_p = jax.lax.broadcasted_iota(jnp.int32, (mp, 1), 0)
+        planes.append((rd[p:p + 1, :] >> iota_p) & 1)
+    bitm = (jnp.concatenate(planes, axis=0) if P > 1
+            else planes[0])                                # [M, TILE]
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
+           < jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
+           ).astype(jnp.bfloat16)
+    rank = jnp.dot(tri, bitm.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32).astype(jnp.int32)
+    nd = jnp.sum(bitm, axis=0, keepdims=True)              # [1, TILE]
+
+    acc = nd
+    s = 1
+    while s < TILE:
+        acc = acc + _shift_right(acc, s, 0)
+        s *= 2
+    p0 = (acc - nd) + rem_i                                # [1, TILE]
+    e0 = p0 // 8
+    a0 = p0 % 8
+
+    winb = win.astype(jnp.int32).astype(jnp.bfloat16)  # [W_A, 8, 128]
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (128, TILE), 0)
+    ys = []
+    for g in range(G):
+        e_g = e0 + g
+        w_g = e_g // 128
+        c_g = e_g % 128
+        ohc = (iota_c == c_g).astype(jnp.bfloat16)         # [128, TILE]
+        yg = jnp.zeros((8, TILE), jnp.float32)
+        for w in range(W_A):
+            tw = jnp.dot(winb[w], ohc,
+                         preferred_element_type=jnp.float32)
+            yg = yg + tw * (w_g == w).astype(jnp.float32)
+        ys.append(yg)
+    yc = jnp.concatenate(ys, axis=0)                       # [G*8, TILE]
+
+    gt = G * 8
+    v = jnp.zeros((M, TILE), jnp.float32)
+    for s_ in range(8):
+        r = pltpu.roll(yc, (gt - s_) % gt, axis=0) if s_ else yc
+        v = v + r[:M] * (a0 == s_).astype(jnp.float32)
+
+    h = jnp.zeros((M, TILE), jnp.float32)
+    for u in range(M):
+        h = h + v[u:u + 1] * (rank == u).astype(jnp.float32)
+    hi = jnp.where(bitm == 1, h.astype(jnp.int32), -1)     # [M, TILE]
+
+    s = 1
+    while s < TILE:
+        hi = jnp.where(hi >= 0, hi, _shift_right(hi, s, -1))
+        s *= 2
+    return hi
+
+
+def _stream_mins_pipelined_kernel(meta_ref, q_ref, cwbd_ref,
+                                  n_valid_ref, rd_ref, vals_ref,
+                                  out_ref, codes_out_ref, oh_ref,
+                                  win_ref, sem_ref, *, M: int,
+                                  W_A: int, nt: int):
+    """Software-pipelined stream kernel (G == 1 subspace groups).
+
+    Grid has nt+1 steps.  Step i DECODES tile i (stream gather,
+    forward fill, one-hot build into ``oh_ref[i % 2]`` — VPU-dominated)
+    and SCANS tile i-1 (decode/cross matmuls + subtile mins over
+    ``oh_ref[(i-1) % 2]`` — MXU-dominated).  The two phases touch
+    disjoint buffers and run STRAIGHT-LINE (no pl.when around compute:
+    conditional regions fence Mosaic's scheduler — a pl.when-phased
+    variant measured 6.4 ms vs 5.6 serial), so the VPU decode chain
+    interleaves with the MXU matmuls.  The boundary steps decode/scan
+    sacrificial padding blocks instead of branching: the caller pads
+    ``row_data``/``meta`` with a dummy tile and slices one garbage
+    block off each output (see ``fused_stream_mins``).  This is the
+    TPU analog of the reference overlapping its O_DIRECT refill with
+    the scan loop (``deltapq_create_approx_tree.h:2805-2984``).
+    """
+    K = cwbd_ref.shape[0] // M
+    i = pl.program_id(0)
+    slot = jax.lax.rem(i, 2)
+    nxt_slot = jax.lax.rem(i + 1, 2)
+    int8_mode = cwbd_ref.dtype == jnp.int8
+    oh_dtype = jnp.int8 if int8_mode else jnp.bfloat16
+
+    @pl.when(i == 0)
+    def _():
+        pltpu.make_async_copy(
+            vals_ref.at[pl.ds(meta_ref[0, 0], W_A)],
+            win_ref.at[0], sem_ref.at[0]).start()
+
+    @pl.when(i < nt)
+    def _():
+        # tile nt is the caller's dummy (meta pad = 0 -> a valid
+        # window at the stream head); started at step nt-1, waited at
+        # step nt, decoded into the sacrificial output block
+        pltpu.make_async_copy(
+            vals_ref.at[pl.ds(meta_ref[0, i + 1], W_A)],
+            win_ref.at[nxt_slot], sem_ref.at[nxt_slot]).start()
+
+    pltpu.make_async_copy(
+        vals_ref.at[pl.ds(meta_ref[0, i], W_A)],
+        win_ref.at[slot], sem_ref.at[slot]).wait()
+
+    # Interleave the two phases for MXU/VPU overlap: ISSUE the scan's
+    # decode matmul on tile i-1's one-hot first, run the decode chain
+    # for tile i (a long VPU dependency chain independent of the
+    # matmul), and only then CONSUME the matmul results.  A
+    # phase-sequential body measured as the exact sum of the two
+    # phases (6.15 ms = 3.32 scan + 2.8 decode at 1M/B=512): Mosaic
+    # issues in program order and the scan's VPU tail stalls on its
+    # matmuls, so the ordering below is what buys the overlap.
+
+    # -- scan(i-1) part 1: issue the decode matmul ---------------------
+    # (step 0 scans uninitialized scratch into the sliced-off block)
+    oh = oh_ref[nxt_slot]
+    if int8_mode:
+        xq = jnp.dot(oh, cwbd_ref[:],
+                     preferred_element_type=jnp.int32)
+    else:
+        xq = jnp.dot(oh, cwbd_ref[:],
+                     preferred_element_type=jnp.float32)
+
+    # -- decode(i): VPU chain, independent of xq ----------------------
+    hi = _stream_decode(rd_ref[0].astype(jnp.int32),
+                        win_ref[slot], meta_ref[1, i], M)
+    H = hi.T                                               # [TILE, M]
+    codes_out_ref[:] = H.astype(jnp.uint8)
+
+    # -- scan(i-1) part 2: consume xq, issue the cross matmul ---------
+    if int8_mode:
+        x8 = xq.astype(jnp.int8)
+        pre = jnp.sum(xq * xq, axis=1,
+                      keepdims=True).astype(jnp.float32)
+        cross = jnp.dot(x8, q_ref[:],
+                        preferred_element_type=jnp.int32
+                        ).astype(jnp.float32)
+    else:
+        pre = jnp.sum(xq * xq, axis=1, keepdims=True)
+        cross = jnp.dot(xq.astype(jnp.bfloat16), q_ref[:],
+                        preferred_element_type=jnp.float32)
+
+    # -- decode(i): one-hot build (independent of cross) --------------
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (TILE, K), 1)
+    for m in range(M):
+        oh_ref[slot, :, m * K:(m + 1) * K] = (
+            H[:, m:m + 1] == iota_k).astype(oh_dtype)
+
+    # -- scan(i-1) tail: subtile mins ----------------------------------
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
+    base = (i - 1) * TILE
+    d = jnp.where(base + rows < n_valid_ref[0, 0],
+                  pre - 2.0 * cross, jnp.inf)
+    _subtile_mins(d, out_ref)
+
+
 @functools.partial(jax.jit, static_argnames=("e_max", "M"))
 def fused_stream_mins(q: jnp.ndarray, cwbd: jnp.ndarray,
                       row_data: jnp.ndarray, vals: jnp.ndarray,
@@ -479,11 +642,33 @@ def fused_stream_mins(q: jnp.ndarray, cwbd: jnp.ndarray,
     W_A = window_groups(M, e_max)
     ns = TILE // SUB
     MgK = MKs // G_
-    return pl.pallas_call(
-        functools.partial(_stream_mins_kernel, M=M, W_A=W_A, nt=nt),
-        grid=(nt,),
+    oh_dtype = jnp.int8 if cwbd.dtype == jnp.int8 else jnp.bfloat16
+    # G == 1 (M <= 8, the headline config): software-pipelined variant —
+    # grid nt+1, step i decodes tile i while scanning tile i-1 from the
+    # double-buffered one-hot scratch, all straight-line (pl.when
+    # around compute fences the Mosaic scheduler — measured slower
+    # than serial).  Inputs gain a dummy tile (row_data zeros, meta 0)
+    # and each output one sacrificial block, sliced off below.
+    pipelined = (G_ == 1 and not _interpret())
+    nsteps = nt + 1 if pipelined else nt
+    if pipelined:
+        kernel = functools.partial(_stream_mins_pipelined_kernel,
+                                   M=M, W_A=W_A, nt=nt)
+        row_data = jnp.concatenate(
+            [row_data, jnp.zeros((1, P, TILE), row_data.dtype)],
+            axis=0)
+        meta = jnp.concatenate(
+            [meta, jnp.zeros((2, 1), meta.dtype)], axis=1)
+        oh_scratch = pltpu.VMEM((2, TILE, MgK), oh_dtype)
+    else:
+        kernel = functools.partial(_stream_mins_kernel,
+                                   M=M, W_A=W_A, nt=nt)
+        oh_scratch = pltpu.VMEM((TILE, MgK), oh_dtype)
+    mins, codes = pl.pallas_call(
+        kernel,
+        grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((2, nt), lambda i: (0, 0),
+            pl.BlockSpec((2, meta.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((D, B), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -502,13 +687,11 @@ def fused_stream_mins(q: jnp.ndarray, cwbd: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nt * ns, B), jnp.float32),
-            jax.ShapeDtypeStruct((nt * TILE, M), jnp.uint8),
+            jax.ShapeDtypeStruct((nsteps * ns, B), jnp.float32),
+            jax.ShapeDtypeStruct((nsteps * TILE, M), jnp.uint8),
         ],
         scratch_shapes=[
-            pltpu.VMEM((TILE, MgK),
-                       jnp.int8 if cwbd.dtype == jnp.int8
-                       else jnp.bfloat16),
+            oh_scratch,
             pltpu.VMEM((2, W_A, 8, 128), jnp.uint8),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -521,6 +704,12 @@ def fused_stream_mins(q: jnp.ndarray, cwbd: jnp.ndarray,
         interpret=_interpret(),
     )(meta, q, cwbd, jnp.asarray(n_valid, jnp.int32).reshape(1, 1),
       row_data, vals)
+    if pipelined:
+        # mins block i = scan of tile i-1 (block 0 is the step-0
+        # garbage scan); codes block i = decode of tile i (block nt is
+        # the dummy tile)
+        return mins[ns:], codes[:nt * TILE]
+    return mins, codes
 
 
 def quantize_blockdiag_int8(cwbd_bf16_or_cw, center=None):

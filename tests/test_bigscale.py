@@ -45,3 +45,22 @@ def test_big_index_query_parity(cw_codes, small_dataset):
     d_ref, i_ref = query_plain(cw, q, codes, top_k=5, engine="xla")
     d, i = idx.query(q, top_k=5)
     np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("resident", [True, False])
+def test_chunked_engine_parity(cw_codes, small_dataset, resident):
+    """Out-of-core chunked engine == plain scan (chunk merge exact)."""
+    from deltapq_tpu.bigscale import ChunkedCompressedEngine
+    from deltapq_tpu.ops.adc import query_plain
+
+    cw, codes = cw_codes
+    order = np.lexsort(codes.T[::-1])
+    eng = ChunkedCompressedEngine(cw, codes[order], row_to_db=order,
+                                  precision="bf16", chunk_rows=1024,
+                                  resident=resident)
+    assert (len(eng.chunks) if resident else len(eng._host)) > 1
+    q = small_dataset[:16] + 0.01
+    d_ref, i_ref = query_plain(cw, q, codes, top_k=5, engine="xla")
+    d, i = eng.query(q, top_k=5)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)
+    assert eng.bytes_per_vec() < codes.shape[1] + 2
