@@ -161,6 +161,8 @@ def main():
     inv_s = jnp.float32(1.0 / eng.scale)
     s2 = jnp.float32(eng.scale * eng.scale)
 
+    err_c = jnp.float32(eng.err_c)
+
     @functools.partial(jax.jit, static_argnames=("iters",))
     def bench(qb, cwbd, rd, vals, meta, salt, iters):
         def body(i, acc):
@@ -169,15 +171,25 @@ def main():
             q = qb * (1.0 + (salt + i.astype(jnp.float32)) * 0.01)
             tab = adc_table(cwj, q[:, :D])
             qc = q - mu[None, :]
-            q2 = jnp.sum(qc * qc, axis=1)
-            qq = jnp.clip(jnp.round(qc * inv_s), -127, 127
-                          ).astype(jnp.int8)
+            # engine-faithful int8 path: per-query headroom u >= 1
+            # (nothing clips), quantized-domain q2 + per-query radius
+            uq = jnp.maximum(
+                1.0, jnp.max(jnp.abs(qc), axis=1) * inv_s / 127.0)
+            qq = jnp.clip(jnp.round(qc * inv_s / uq[:, None]),
+                          -127, 127).astype(jnp.int8)
+            q2 = s2 * uq * uq * jnp.sum(
+                qq.astype(jnp.float32) ** 2, axis=1)
+            e_q = jnp.sqrt(jnp.sum(
+                (qc - (jnp.float32(eng.scale) * uq[:, None])
+                 * qq.astype(jnp.float32)) ** 2, axis=1))
             mins, echo = fp.fused_stream_mins(
                 qq.T, cwbd, rd, vals, meta, jnp.int32(N),
-                eng.tiles.e_max, M)
+                eng.tiles.e_max, M, u=uq[None, :])
             mins = mins * s2
-            d, r, ok = fp.select_rerank(mins.T, q2, tab, echo,
-                                        jnp.int32(N), top_k, ns, pool)
+            d, r, ok = fp.select_rerank(
+                fp.pool_mins_nb(mins, pool), q2, tab, echo,
+                jnp.int32(N), top_k, ns, pool, prepooled=True,
+                err_r=e_q + err_c)
             return acc + jnp.sum(d) + jnp.sum(r).astype(jnp.float32)
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 

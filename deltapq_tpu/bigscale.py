@@ -132,7 +132,8 @@ class BigCompressedIndex:
 
     def __init__(self, codewords: np.ndarray, codes: np.ndarray,
                  n_parts: int = 16, method: int = 1, workers: int = 2,
-                 batch_b: int = 128, precision: str = "int8"):
+                 batch_b: int = 128, precision: str = "int8",
+                 chunk_rows: Optional[int] = None):
         from .ops.fused import FusedCompressedEngine
 
         K = codewords.shape[1]
@@ -142,10 +143,22 @@ class BigCompressedIndex:
         codes_scan = np.asarray(codes)[self.row_to_db]
         # int8 default: the shortlist scan runs at the MXU's 2x int8
         # rate (exactness restored by the f32 rerank + certificate);
-        # bf16 measured ~2x slower at 100M (BIGRUN round 2)
-        self.engine = FusedCompressedEngine(
-            codewords, codes_scan, row_to_db=self.row_to_db,
-            precision=precision)
+        # bf16 measured ~2x slower at 100M (BIGRUN round 2).
+        # Beyond ~32M rows, split into resident chunks: one kernel
+        # call's tile-meta SMEM block scales with N/1024 and the
+        # per-chunk compile is reused across equal-size chunks.
+        n = len(codes_scan)
+        if chunk_rows is None:
+            chunk_rows = ChunkedCompressedEngine.CHUNK_ROWS
+        if n > 2 * chunk_rows:
+            self.engine = ChunkedCompressedEngine(
+                codewords, codes_scan, row_to_db=self.row_to_db,
+                precision=precision, chunk_rows=chunk_rows,
+                resident=True)
+        else:
+            self.engine = FusedCompressedEngine(
+                codewords, codes_scan, row_to_db=self.row_to_db,
+                precision=precision)
         self.batch_b = batch_b
 
     def bytes_per_vec(self) -> float:

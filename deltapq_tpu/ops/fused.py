@@ -64,27 +64,32 @@ def _default_n_sub(top_k: int, n_units: int, unit: int) -> int:
     return int(max(2, min(max(want, 256 // unit), max(n_units - 1, 1))))
 
 
-def _select_with_escalation(mins_bn, q2, table, codes_dev, n_valid,
-                            top_k, n_sub=None, invalid=None):
+def _select_with_escalation(mins_nb, q2, table, codes_dev, n_valid,
+                            top_k, n_sub=None, invalid=None,
+                            err_r=None):
     """Run select_rerank, escalating the candidate pool 4x whenever a
     query's exactness certificate fails (equal-distance pileups at the
-    fence), with a terminal full exact scan.  ``invalid`` marks queries
-    whose mins are untrustworthy (e.g. int8 quantization clipped the
-    query) — their certificate is forced false so the terminal exact
-    scan covers them.  Returns (d, rows,
-    exact_frac_before_escalation)."""
-    ns_total = mins_bn.shape[1]
+    fence), with a terminal full exact scan.  ``mins_nb`` arrives in
+    the scan kernel's native [NS, B] layout; pooling happens BEFORE
+    the [B, NS] relayout (``fp.pool_mins_nb``) so the transpose moves
+    ``pool``x fewer bytes.  ``invalid`` marks queries whose mins are
+    untrustworthy (e.g. int8 quantization clipped the query) — their
+    certificate is forced false so the terminal exact scan covers
+    them.  Returns (d, rows, exact_frac_before_escalation)."""
+    ns_total = mins_nb.shape[0]
     pool = _pool_for(ns_total)
     n_units = -(-ns_total // pool)
     unit = fp.SUB * pool
     ns = n_sub or _default_n_sub(top_k, n_units, unit)
     ns = min(ns, max(n_units - 1, 1))
+    mins_bn = fp.pool_mins_nb(mins_nb, pool)
     # escalation ceiling: the rerank gathers ns*unit rows per query —
     # cap the candidate pool at 64k rows and fall through to the full
     # exact scan beyond that (rare: tie-saturated data)
     ns_cap = min(max(n_units - 1, 1), max(ns, 65536 // unit))
     d, rows, ok = fp.select_rerank(mins_bn, q2, table, codes_dev,
-                                   n_valid, top_k, ns, pool)
+                                   n_valid, top_k, ns, pool,
+                                   prepooled=True, err_r=err_r)
     if invalid is not None:
         ok = jnp.logical_and(ok, jnp.logical_not(invalid))
     first_frac = float(jnp.mean(ok))
@@ -92,7 +97,8 @@ def _select_with_escalation(mins_bn, q2, table, codes_dev, n_valid,
     while not okh and ns < ns_cap:
         ns = min(ns * 4, ns_cap)
         d, rows, ok = fp.select_rerank(mins_bn, q2, table, codes_dev,
-                                       n_valid, top_k, ns, pool)
+                                       n_valid, top_k, ns, pool,
+                                       prepooled=True, err_r=err_r)
         if invalid is not None:
             ok = jnp.logical_and(ok, jnp.logical_not(invalid))
         okh = bool(jnp.all(ok))
@@ -148,26 +154,52 @@ class FusedDecodedEngine:
         mins = fp.fused_decoded_mins(qc.astype(jnp.bfloat16).T, self.xt,
                                      jnp.int32(self.n_valid))
         d, rows, frac = _select_with_escalation(
-            mins.T, q2, table, self.codes, jnp.int32(self.n_valid),
+            mins, q2, table, self.codes, jnp.int32(self.n_valid),
             top_k, n_sub)
         self.last_exact_frac = frac
         return np.asarray(d[:b]), np.asarray(rows[:b])
 
 
+def _int8_codeword_radius(codewords: np.ndarray, mu: np.ndarray,
+                          scale: float) -> float:
+    """Max over codes of the exact L2 norm of the codeword
+    quantization error: sqrt(sum_m max_k ||c_mk - scale*round||^2).
+    Any decoded row's quantized vector sits within this radius of its
+    true decoded vector — the codeword side of the int8 exactness
+    certificate."""
+    cw = np.asarray(codewords, np.float32)
+    M, K, Ds = cw.shape
+    cwc = cw - mu[:M * Ds].reshape(M, 1, Ds)
+    err = cwc - scale * np.rint(cwc / scale)
+    per_mk = np.sum(err * err, axis=2)             # [M, K]
+    return float(np.sqrt(per_mk.max(axis=1).sum()))
+
+
 def _mins_query_args(qc: np.ndarray, precision: str, scale):
     """Centered grouped-layout queries [B, G*Dg_pad] -> (kernel q
-    operand [G*Dg_pad, B] bf16/int8, invalid-query mask or None).
-    int8 quantization CLIPS coordinates beyond the codebook range;
-    clipped queries' subtile mins are no longer bounded-error, so they
-    are flagged and routed to the exact fallback by the escalation
-    loop."""
+    operand [G*Dg_pad, B] bf16/int8, invalid mask or None, headroom
+    u [1, B] f32 or None).
+
+    int8: each query is quantized at ``scale * u_b`` with
+    ``u_b = max(1, max|qc_b| / (127 scale))`` — NOTHING clips (a
+    codebook-only scale made 96% of realistic big-N queries clip into
+    the exact-fallback path).  The kernel multiplies ``cross`` by u so
+    pre/cross share the scale^2 domain.  Also returns the EXACT
+    query-side rounding radius ``e_q[b] = ||qc_b - scale u_b qq_b||``
+    — with the engine's precomputed codeword radius this gives a
+    certificate allowance ~2-3x tighter than the worst-case
+    scale*sqrt(D) bound (more first-shot passes, fewer escalations)."""
     if precision == "int8":
-        scaled = qc / scale
-        clipped = (np.abs(scaled) > 127.0).any(axis=1)
-        qq = np.clip(np.rint(scaled), -127, 127).astype(np.int8)
-        inv = jnp.asarray(clipped) if clipped.any() else None
-        return jnp.asarray(qq.T), inv
-    return jnp.asarray(qc.astype(jnp.bfloat16).T), None
+        amax = np.abs(qc).max(axis=1)
+        u = np.maximum(1.0, amax / (127.0 * scale)).astype(np.float32)
+        qq = np.clip(np.rint(qc / (scale * u[:, None])),
+                     -127, 127).astype(np.int8)
+        e_q = np.linalg.norm(
+            qc - (scale * u[:, None]) * qq.astype(np.float32),
+            axis=1).astype(np.float32)
+        return (jnp.asarray(qq.T), None,
+                jnp.asarray(u.reshape(1, -1)), jnp.asarray(e_q))
+    return jnp.asarray(qc.astype(jnp.bfloat16).T), None, None, None
 
 
 class FusedCodesEngine:
@@ -209,6 +241,8 @@ class FusedCodesEngine:
             cwq, self.scale = fp.quantize_blockdiag_int8(
                 codewords, center=self.mu[:self.D])
             self.cwbd = jnp.asarray(cwq)
+            self.err_c = _int8_codeword_radius(codewords, self.mu,
+                                               self.scale)
         else:
             self.scale = None
             self.cwbd = jnp.asarray(fp.build_blockdiag_codebook(
@@ -224,15 +258,28 @@ class FusedCodesEngine:
         qc = jnp.asarray(qc_np)
         q2 = jnp.sum(qc * qc, axis=1)
         qk = fp.pack_query_grouped(qc_np[:, :self.D], self.M, self.Ds)
-        qop, invalid = _mins_query_args(qk, self.precision,
-                                        self.scale)
+        qop, invalid, uq, eq = _mins_query_args(qk, self.precision,
+                                                self.scale)
         mins, codes_echo = fp.fused_codes_mins(
-            qop, self.cwbd, self.codes, jnp.int32(self.n_valid))
+            qop, self.cwbd, self.codes, jnp.int32(self.n_valid),
+            u=uq)
         if self.precision == "int8":
             mins = mins * jnp.float32(self.scale * self.scale)
+            # certificate geometry lives in the quantized domain:
+            # fence + q2 must equal ||x_qs - q_qs||^2 exactly (with
+            # q_qs = scale*u*qq), so q2 here is the QUANTIZED query
+            # norm; the true-vs-quantized gap is the per-query radius
+            # err_r = ||e_q||_exact + max-codeword radius (both exact
+            # norms, ~2-3x tighter than the scale*sqrt(D) worst case)
+            uqv = uq[0]
+            q2 = (jnp.float32(self.scale * self.scale) * uqv * uqv
+                  * jnp.sum(qop.astype(jnp.float32) ** 2, axis=0))
+            err_r = eq + jnp.float32(self.err_c)
+        else:
+            err_r = None
         d, rows, frac = _select_with_escalation(
-            mins.T, q2, table, codes_echo, jnp.int32(self.n_valid),
-            top_k, n_sub, invalid=invalid)
+            mins, q2, table, codes_echo, jnp.int32(self.n_valid),
+            top_k, n_sub, invalid=invalid, err_r=err_r)
         self.last_exact_frac = frac
         if self.row_to_db is not None:
             mapped = jnp.take(self.row_to_db,
@@ -288,6 +335,8 @@ class FusedCompressedEngine:
             cwq, self.scale = fp.quantize_blockdiag_int8(
                 codewords, center=self.mu[:self.D])
             self.cwbd = jnp.asarray(cwq)
+            self.err_c = _int8_codeword_radius(codewords, self.mu,
+                                               self.scale)
         else:
             self.scale = None
             self.cwbd = jnp.asarray(fp.build_blockdiag_codebook(
@@ -337,6 +386,8 @@ class FusedCompressedEngine:
             cwq, self.scale = fp.quantize_blockdiag_int8(
                 codewords, center=self.mu[:self.D])
             self.cwbd = jnp.asarray(cwq)
+            self.err_c = _int8_codeword_radius(codewords, self.mu,
+                                               self.scale)
         else:
             self.scale = None
             self.cwbd = jnp.asarray(fp.build_blockdiag_codebook(
@@ -359,21 +410,34 @@ class FusedCompressedEngine:
         qc = jnp.asarray(qc_np)
         q2 = jnp.sum(qc * qc, axis=1)
         qk = fp.pack_query_grouped(qc_np[:, :self.D], self.M, self.Ds)
-        qop, invalid = _mins_query_args(qk, self.precision,
-                                        self.scale)
+        qop, invalid, uq, eq = _mins_query_args(qk, self.precision,
+                                                self.scale)
         if self.fmt == "stream":
             mins, codes_echo = fp.fused_stream_mins(
                 qop, self.cwbd, self.row_data, self.vals, self.meta,
-                jnp.int32(self.n_valid), self.tiles.e_max, self.M)
+                jnp.int32(self.n_valid), self.tiles.e_max, self.M,
+                u=uq)
         else:
             mins, codes_echo = fp.fused_delta_mins(
                 qop, self.cwbd, self.row_data, self.ovf,
-                jnp.int32(self.n_valid), self.tiles.S)
+                jnp.int32(self.n_valid), self.tiles.S, u=uq)
         if self.precision == "int8":
             mins = mins * jnp.float32(self.scale * self.scale)
+            # certificate geometry lives in the quantized domain:
+            # fence + q2 must equal ||x_qs - q_qs||^2 exactly (with
+            # q_qs = scale*u*qq), so q2 here is the QUANTIZED query
+            # norm; the true-vs-quantized gap is the per-query radius
+            # err_r = ||e_q||_exact + max-codeword radius (both exact
+            # norms, ~2-3x tighter than the scale*sqrt(D) worst case)
+            uqv = uq[0]
+            q2 = (jnp.float32(self.scale * self.scale) * uqv * uqv
+                  * jnp.sum(qop.astype(jnp.float32) ** 2, axis=0))
+            err_r = eq + jnp.float32(self.err_c)
+        else:
+            err_r = None
         d, rows, frac = _select_with_escalation(
-            mins.T, q2, table, codes_echo, jnp.int32(self.n_valid),
-            top_k, n_sub, invalid=invalid)
+            mins, q2, table, codes_echo, jnp.int32(self.n_valid),
+            top_k, n_sub, invalid=invalid, err_r=err_r)
         self.last_exact_frac = frac
         if self.row_to_db is not None:
             mapped = jnp.take(self.row_to_db,

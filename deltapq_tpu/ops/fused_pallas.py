@@ -217,7 +217,7 @@ def _groups_of(M: int) -> Tuple[int, int]:
 
 
 def _scan_tail(H, q_ref, cwbd_ref, n_valid_ref, out_ref, codes_out_ref,
-               oh_ref):
+               oh_ref, u_ref=None):
     """Shared tail: codes H [TILE, M] i32 -> one-hot decode -> matmul ->
     subtile mins, per subspace group (``group_geometry``).
 
@@ -263,15 +263,22 @@ def _scan_tail(H, q_ref, cwbd_ref, n_valid_ref, out_ref, codes_out_ref,
             cross = cross + jnp.dot(
                 xhat.astype(jnp.bfloat16), qg,
                 preferred_element_type=jnp.float32)
+    if int8_mode and u_ref is not None:
+        # per-query int8 headroom: queries were quantized at
+        # scale*u[b] (u >= 1 so nothing clips); cross carries the
+        # extra u factor back so pre and cross share the scale^2
+        # domain (certificate radius grows with u, see select_rerank)
+        cross = cross * u_ref[:]
     d = _mask_invalid(pre - 2.0 * cross, n_valid_ref)
     _subtile_mins(d, out_ref)
     codes_out_ref[:] = H.astype(jnp.uint8)
 
 
-def _codes_mins_kernel(q_ref, cwbd_ref, n_valid_ref, codes_ref,
+def _codes_mins_kernel(q_ref, u_ref, cwbd_ref, n_valid_ref, codes_ref,
                        out_ref, codes_out_ref, oh_ref):
     _scan_tail(codes_ref[:].astype(jnp.int32), q_ref, cwbd_ref,
-               n_valid_ref, out_ref, codes_out_ref, oh_ref)
+               n_valid_ref, out_ref, codes_out_ref, oh_ref,
+               u_ref=u_ref)
 
 
 def _shift_right(x: jnp.ndarray, s: int, fill) -> jnp.ndarray:
@@ -281,7 +288,7 @@ def _shift_right(x: jnp.ndarray, s: int, fill) -> jnp.ndarray:
     return jnp.where(cols >= s, rolled, fill)
 
 
-def _delta_mins_kernel(q_ref, cwbd_ref, n_valid_ref, rd_ref,
+def _delta_mins_kernel(q_ref, u_ref, cwbd_ref, n_valid_ref, rd_ref,
                        ovf_ref, out_ref, codes_out_ref, oh_ref, *,
                        S: int):
     """Delta-tile decode + scan.  rd [1, P+S, TILE] u8 (P = ceil(M/8)
@@ -351,12 +358,13 @@ def _delta_mins_kernel(q_ref, cwbd_ref, n_valid_ref, rd_ref,
         s *= 2
 
     _scan_tail(H.T, q_ref, cwbd_ref, n_valid_ref, out_ref,
-               codes_out_ref, oh_ref)
+               codes_out_ref, oh_ref, u_ref=u_ref)
 
 
-def _stream_mins_kernel(meta_ref, q_ref, cwbd_ref, n_valid_ref, rd_ref,
-                        vals_ref, out_ref, codes_out_ref, oh_ref,
-                        win_ref, sem_ref, *, M: int, W_A: int, nt: int):
+def _stream_mins_kernel(meta_ref, q_ref, u_ref, cwbd_ref, n_valid_ref,
+                        rd_ref, vals_ref, out_ref, codes_out_ref,
+                        oh_ref, win_ref, sem_ref, *, M: int, W_A: int,
+                        nt: int):
     """Stream-tile decode + scan (format v2, ``stream_tiles.py``).
 
     rd [1, P, TILE] u8 mask planes; vals [A, 8, 128] u8 stays in HBM
@@ -457,7 +465,7 @@ def _stream_mins_kernel(meta_ref, q_ref, cwbd_ref, n_valid_ref, rd_ref,
         s *= 2
 
     _scan_tail(hi.T, q_ref, cwbd_ref, n_valid_ref,
-               out_ref, codes_out_ref, oh_ref)
+               out_ref, codes_out_ref, oh_ref, u_ref=u_ref)
 
 
 def _stream_decode(rd, win, rem_i, M: int):
@@ -524,7 +532,7 @@ def _stream_decode(rd, win, rem_i, M: int):
     return hi
 
 
-def _stream_mins_pipelined_kernel(meta_ref, q_ref, cwbd_ref,
+def _stream_mins_pipelined_kernel(meta_ref, q_ref, u_ref, cwbd_ref,
                                   n_valid_ref, rd_ref, vals_ref,
                                   out_ref, codes_out_ref, oh_ref,
                                   win_ref, sem_ref, *, M: int,
@@ -603,7 +611,7 @@ def _stream_mins_pipelined_kernel(meta_ref, q_ref, cwbd_ref,
                       keepdims=True).astype(jnp.float32)
         cross = jnp.dot(x8, q_ref[:],
                         preferred_element_type=jnp.int32
-                        ).astype(jnp.float32)
+                        ).astype(jnp.float32) * u_ref[:]
     else:
         pre = jnp.sum(xq * xq, axis=1, keepdims=True)
         cross = jnp.dot(xq.astype(jnp.bfloat16), q_ref[:],
@@ -627,7 +635,8 @@ def _stream_mins_pipelined_kernel(meta_ref, q_ref, cwbd_ref,
 def fused_stream_mins(q: jnp.ndarray, cwbd: jnp.ndarray,
                       row_data: jnp.ndarray, vals: jnp.ndarray,
                       meta: jnp.ndarray, n_valid: jnp.ndarray,
-                      e_max: int, M: int
+                      e_max: int, M: int,
+                      u: Optional[jnp.ndarray] = None
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Stream tier: row_data [nT, P, TILE] u8 mask planes; vals
     [A, 8, 128] u8 packed value stream (HBM-resident, windowed by
@@ -636,6 +645,8 @@ def fused_stream_mins(q: jnp.ndarray, cwbd: jnp.ndarray,
     from .stream_tiles import window_groups
 
     D, B = q.shape
+    if u is None:
+        u = jnp.ones((1, B), jnp.float32)
     nt, P, _ = row_data.shape
     MKs = cwbd.shape[0]
     G_, Mg = _groups_of(M)
@@ -672,6 +683,8 @@ def fused_stream_mins(q: jnp.ndarray, cwbd: jnp.ndarray,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((D, B), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((MKs, cwbd.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
@@ -702,7 +715,7 @@ def fused_stream_mins(q: jnp.ndarray, cwbd: jnp.ndarray,
             + nt * ns * B * 4 + nt * TILE * M,
             transcendentals=0),
         interpret=_interpret(),
-    )(meta, q, cwbd, jnp.asarray(n_valid, jnp.int32).reshape(1, 1),
+    )(meta, q, u, cwbd, jnp.asarray(n_valid, jnp.int32).reshape(1, 1),
       row_data, vals)
     if pipelined:
         # mins block i = scan of tile i-1 (block 0 is the step-0
@@ -728,11 +741,14 @@ def quantize_blockdiag_int8(cwbd_bf16_or_cw, center=None):
 
 
 def _mins_call(kernel, data_specs, data_args, q, cwbd, n_valid, nt, M,
-               extra_flops=0):
+               extra_flops=0, u=None):
     """Shared pallas_call plumbing for the codes/delta tiers.  The
     one-hot scratch is per subspace group ([TILE, Mg*K], reused across
-    the G groups — see ``group_geometry``)."""
+    the G groups — see ``group_geometry``).  ``u`` [1, B] f32 is the
+    per-query int8 quantization headroom (ones when absent)."""
     D, B = q.shape
+    if u is None:
+        u = jnp.ones((1, B), jnp.float32)
     MKs = cwbd.shape[0]                  # G * Mg * K slot rows
     G, Mg = _groups_of(M)
     MgK = MKs // G
@@ -742,6 +758,8 @@ def _mins_call(kernel, data_specs, data_args, q, cwbd, n_valid, nt, M,
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((D, B), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((MKs, cwbd.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -769,13 +787,14 @@ def _mins_call(kernel, data_specs, data_args, q, cwbd, n_valid, nt, M,
             + D * B * 2 + nt * ns * B * 4 + nt * TILE * M,
             transcendentals=0),
         interpret=_interpret(),
-    )(q, cwbd, jnp.asarray(n_valid, jnp.int32).reshape(1, 1),
+    )(q, u, cwbd, jnp.asarray(n_valid, jnp.int32).reshape(1, 1),
       *data_args)
 
 
 @jax.jit
 def fused_codes_mins(q: jnp.ndarray, cwbd: jnp.ndarray,
-                     codes: jnp.ndarray, n_valid: jnp.ndarray
+                     codes: jnp.ndarray, n_valid: jnp.ndarray,
+                     u: Optional[jnp.ndarray] = None
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Codes tier: q [D, B] bf16; cwbd [M*K, D] bf16; codes [N_pad, M]
     u8.  Returns (mins [NS, B] f32, codes_echo [N_pad, M] u8)."""
@@ -785,13 +804,14 @@ def fused_codes_mins(q: jnp.ndarray, cwbd: jnp.ndarray,
         _codes_mins_kernel,
         [pl.BlockSpec((TILE, M), lambda i: (i, 0),
                       memory_space=pltpu.VMEM)],
-        [codes], q, cwbd, n_valid, nt, M)
+        [codes], q, cwbd, n_valid, nt, M, u=u)
 
 
 @functools.partial(jax.jit, static_argnames=("S",))
 def fused_delta_mins(q: jnp.ndarray, cwbd: jnp.ndarray,
                      row_data: jnp.ndarray, ovf: jnp.ndarray,
-                     n_valid: jnp.ndarray, S: int
+                     n_valid: jnp.ndarray, S: int,
+                     u: Optional[jnp.ndarray] = None
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Delta tier: row_data [nT, P+S, TILE] u8; ovf [nT, M, Cap] u8.
     Returns (mins [NS, B] f32, decoded codes [N_pad, M] u8)."""
@@ -805,7 +825,7 @@ def fused_delta_mins(q: jnp.ndarray, cwbd: jnp.ndarray,
          pl.BlockSpec((1, M, Cap), lambda i: (i, 0, 0),
                       memory_space=pltpu.VMEM)],
         [row_data, ovf], q, cwbd, n_valid, nt, M,
-        extra_flops=2 * nt * TILE * Cap * M)
+        extra_flops=2 * nt * TILE * Cap * M, u=u)
 
 
 # --------------------------------------------------------------------------
@@ -821,11 +841,31 @@ def _fence_margin(fence: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
     return 0.02 * (jnp.abs(fence) + q2 + 1.0)
 
 
+@functools.partial(jax.jit, static_argnames=("pool",))
+def pool_mins_nb(mins_nb: jnp.ndarray, pool: int) -> jnp.ndarray:
+    """Min-pool kernel-layout mins [NS, B] by ``pool`` along NS, then
+    transpose -> [B, NS/pool].
+
+    Pooling BEFORE the transpose reads the kernel's native layout with
+    a contiguous-row reduce and shrinks the relayout ``pool``x — the
+    [B, NS] transpose is otherwise the selection epilogue's largest
+    memory move (64 MB at N=1M/B=512)."""
+    NS, B = mins_nb.shape
+    pad = (-NS) % pool
+    if pad:
+        mins_nb = jnp.concatenate(
+            [mins_nb, jnp.full((pad, B), jnp.inf, mins_nb.dtype)],
+            axis=0)
+    return jnp.min(mins_nb.reshape(-1, pool, B), axis=1).T
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("top_k", "n_sub", "pool"))
+                   static_argnames=("top_k", "n_sub", "pool",
+                                    "prepooled"))
 def select_rerank(mins: jnp.ndarray, q2: jnp.ndarray, table: jnp.ndarray,
                   codes: jnp.ndarray, n_valid: jnp.ndarray, top_k: int,
-                  n_sub: int, pool: int = 1
+                  n_sub: int, pool: int = 1, prepooled: bool = False,
+                  err_r: Optional[jnp.ndarray] = None
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Candidate selection + exact rerank.
 
@@ -854,7 +894,7 @@ def select_rerank(mins: jnp.ndarray, q2: jnp.ndarray, table: jnp.ndarray,
     B, NS = mins.shape
     M, K = table.shape[1], table.shape[2]
     unit = SUB * pool
-    if pool > 1:
+    if pool > 1 and not prepooled:
         pad = (-NS) % pool
         if pad:
             mins = jnp.concatenate(
@@ -901,5 +941,19 @@ def select_rerank(mins: jnp.ndarray, q2: jnp.ndarray, table: jnp.ndarray,
             [d, jnp.full((B, pad), jnp.inf, d.dtype)], axis=1)
         out_rows = jnp.concatenate(
             [out_rows, jnp.full((B, pad), -1, out_rows.dtype)], axis=1)
-    ok = (d[:, k_eff - 1] - q2) <= fence - _fence_margin(fence, q2)
+    if err_r is not None:
+        # int8 certificate via the quantization radius: mins live in
+        # the (scale^2-rescaled) quantized domain, where the int8
+        # matmuls are EXACT integer arithmetic — the only error is the
+        # per-dim <= scale/2 rounding of codewords and query, so
+        # ||x-q|| >= ||x_q-q_q|| - r with r = err_r = scale*sqrt(D).
+        # Every row of an unselected unit therefore has true distance
+        # >= (sqrt(fence_true) - r)^2.  This is ~4-6x tighter than the
+        # bf16 magnitude formula at large ||q||^2 (which made whole
+        # batches escalate to the full exact scan on 2M+ workloads).
+        ft = jnp.maximum(fence + q2, 0.0)
+        bound = jnp.maximum(jnp.sqrt(ft) - err_r, 0.0) ** 2
+        ok = d[:, k_eff - 1] <= bound
+    else:
+        ok = (d[:, k_eff - 1] - q2) <= fence - _fence_margin(fence, q2)
     return d, out_rows, ok

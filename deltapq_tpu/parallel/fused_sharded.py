@@ -48,8 +48,10 @@ def make_sharded_delta_query_fn(mesh: Mesh, top_k: int, n_sub: int,
         local_valid = jnp.clip(n_valid - base, 0, rows_local)
         mins, echo = fp.fused_delta_mins(q, cwbd, rd_local, ovf_local,
                                          local_valid, S)
-        d, rows, ok = fp.select_rerank(mins.T, q2, table, echo,
-                                       local_valid, top_k, n_sub, pool)
+        d, rows, ok = fp.select_rerank(fp.pool_mins_nb(mins, pool),
+                                       q2, table, echo, local_valid,
+                                       top_k, n_sub, pool,
+                                       prepooled=True)
         rows = rows + base
         all_d = jax.lax.all_gather(d, axis)       # [S, B, k]
         all_r = jax.lax.all_gather(rows, axis)

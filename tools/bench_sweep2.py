@@ -61,11 +61,11 @@ def main():
         one-group degenerate case)."""
         qc = q_np - mu[None, :]
         qk = fp.pack_query_grouped(qc[:, :D], M, Ds)
-        qop, invalid = __import__(
+        qop, invalid, uq, _eq = __import__(
             "deltapq_tpu.ops.fused", fromlist=["_mins_query_args"]
         )._mins_query_args(qk, "int8", eng.scale)
-        assert invalid is None, "sweep queries must not clip"
-        return jnp.asarray(qc), qop
+        assert invalid is None
+        return jnp.asarray(qc), qop, uq
 
     def full(B, pool, ns):
         q_np = rng.normal(size=(B, D)).astype(np.float32)
@@ -99,12 +99,12 @@ def main():
             "in-graph quantize shortcut requires the one-group layout"
         # prove the config never escalates on this workload (numbers
         # below are escalation-free by construction)
-        qc_chk, qop_chk = quantize_queries(q_np)
+        qc_chk, qop_chk, u_chk = quantize_queries(q_np)
         q2_chk = jnp.sum(qc_chk * qc_chk, axis=1)
         tab_chk = adc_table(cwj, qb)
         mins_c, echo_c = fp.fused_delta_mins(
             qop_chk, eng.cwbd, eng.row_data, eng.ovf, jnp.int32(N),
-            eng.tiles.S)
+            eng.tiles.S, u=u_chk)
         _, _, ok_c = fp.select_rerank((mins_c * s2).T, q2_chk, tab_chk,
                                       echo_c, jnp.int32(N), top_k, ns,
                                       pool)
@@ -122,12 +122,12 @@ def main():
     B = 512
     q_np0 = rng.normal(size=(B, D)).astype(np.float32)
     qb = jnp.asarray(q_np0)
-    qc0j, qq0 = quantize_queries(q_np0)
+    qc0j, qq0, u0 = quantize_queries(q_np0)
     tab0 = adc_table(cwj, qb)
     q20 = jnp.sum(qc0j * qc0j, axis=1)
     mins0, echo0 = fp.fused_delta_mins(qq0, eng.cwbd, eng.row_data,
                                        eng.ovf, jnp.int32(N),
-                                       eng.tiles.S)
+                                       eng.tiles.S, u=u0)
     mins0 = (mins0 * s2).T
 
     @functools.partial(jax.jit, static_argnames=("iters",))

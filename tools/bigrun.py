@@ -112,6 +112,43 @@ def main():
     print(f"[bigrun] query batch {report['t_query_batch_s']}s",
           flush=True)
 
+    # kernel/epilogue split (VERDICT r2 #6): time the scan kernels
+    # alone across all chunks, same query batch
+    try:
+        import jax.numpy as jnp
+
+        from deltapq_tpu.ops import fused_pallas as fp
+        from deltapq_tpu.ops.fused import (_mins_query_args,
+                                           _pad_queries)
+
+        engines = getattr(idx.engine, "chunks", [idx.engine])
+        e0 = engines[0]
+        qp, _ = _pad_queries(queries, e0.d_pad)
+        qc = qp - e0.mu[None, :]
+        qk = fp.pack_query_grouped(qc[:, :e0.D], e0.M, e0.Ds)
+        qop, _, uq, _eq = _mins_query_args(qk, e0.precision, e0.scale)
+        def kernels_once():
+            outs = []
+            for e in engines:
+                mins, echo = fp.fused_stream_mins(
+                    qop, e.cwbd, e.row_data, e.vals, e.meta,
+                    jnp.int32(e.n_valid), e.tiles.e_max, e.M, u=uq)
+                outs.append(mins)
+            return [m.block_until_ready() for m in outs]
+        kernels_once()  # warm
+        t0 = time.time()
+        kernels_once()
+        report["t_kernel_only_s"] = round(time.time() - t0, 3)
+        report["n_chunks"] = len(engines)
+        fr = [getattr(e, "last_exact_frac", None) for e in engines]
+        fr = [f for f in fr if f is not None]
+        if fr:
+            report["exact_frac"] = round(float(np.mean(fr)), 4)
+        print(f"[bigrun] kernel-only {report['t_kernel_only_s']}s "
+              f"over {len(engines)} chunk(s)", flush=True)
+    except Exception as e:  # breakdown is best-effort
+        report["t_kernel_only_err"] = repr(e)[:200]
+
     t0 = time.time()
     gt_d, gt_i = exact_topk(queries, chunks(), top_k=top_k,
                             tile_n=524288)
