@@ -95,7 +95,10 @@ def _select_with_escalation(mins_nb, q2, table, codes_dev, n_valid,
     first_frac = float(jnp.mean(ok))
     okh = bool(jnp.all(ok))
     while not okh and ns < ns_cap:
-        ns = min(ns * 4, ns_cap)
+        # 16x rungs: realistic clustered data fails the first shot for
+        # ~half the queries (quantized near-ties at the fence); a 4x
+        # ladder meant 4-5 device round-trips per batch
+        ns = min(ns * 16, ns_cap)
         d, rows, ok = fp.select_rerank(mins_bn, q2, table, codes_dev,
                                        n_valid, top_k, ns, pool,
                                        prepooled=True, err_r=err_r)
