@@ -403,66 +403,8 @@ def _stream_mins_kernel(meta_ref, q_ref, u_ref, cwbd_ref, n_valid_ref,
         vals_ref.at[pl.ds(meta_ref[0, i], W_A)],
         win_ref.at[slot], sem_ref.at[slot]).wait()
 
-    rd = rd_ref[0].astype(jnp.int32)                       # [P, TILE]
-    planes = []
-    for p in range(P):
-        mp = min(8, M - 8 * p)
-        iota_p = jax.lax.broadcasted_iota(jnp.int32, (mp, 1), 0)
-        planes.append((rd[p:p + 1, :] >> iota_p) & 1)
-    bitm = (jnp.concatenate(planes, axis=0) if P > 1
-            else planes[0])                                # [M, TILE]
-    tri = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
-           < jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
-           ).astype(jnp.bfloat16)
-    rank = jnp.dot(tri, bitm.astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32).astype(jnp.int32)
-    nd = jnp.sum(bitm, axis=0, keepdims=True)              # [1, TILE]
-
-    # exclusive prefix sum of nd along lanes -> per-row value offset
-    acc = nd
-    s = 1
-    while s < TILE:
-        acc = acc + _shift_right(acc, s, 0)
-        s *= 2
-    p0 = (acc - nd) + meta_ref[1, i]                       # [1, TILE]
-    e0 = p0 // 8
-    a0 = p0 % 8
-
-    win = win_ref[slot].astype(jnp.int32).astype(
-        jnp.bfloat16)                                 # [W_A, 8, 128]
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (128, TILE), 0)
-    ys = []
-    for g in range(G):
-        e_g = e0 + g
-        w_g = e_g // 128
-        c_g = e_g % 128
-        ohc = (iota_c == c_g).astype(jnp.bfloat16)         # [128, TILE]
-        yg = jnp.zeros((8, TILE), jnp.float32)
-        for w in range(W_A):
-            tw = jnp.dot(win[w], ohc,
-                         preferred_element_type=jnp.float32)
-            yg = yg + tw * (w_g == w).astype(jnp.float32)
-        ys.append(yg)
-    yc = jnp.concatenate(ys, axis=0)                       # [G*8, TILE]
-
-    # align: V[u] = yc[a0 + u] via roll-select over the 8 offsets
-    gt = G * 8
-    v = jnp.zeros((M, TILE), jnp.float32)
-    for s_ in range(8):
-        r = pltpu.roll(yc, (gt - s_) % gt, axis=0) if s_ else yc
-        v = v + r[:M] * (a0 == s_).astype(jnp.float32)
-
-    # scatter by rank: H[m] = V[rank[m]] where the mask bit is set
-    h = jnp.zeros((M, TILE), jnp.float32)
-    for u in range(M):
-        h = h + v[u:u + 1] * (rank == u).astype(jnp.float32)
-    hi = jnp.where(bitm == 1, h.astype(jnp.int32), -1)     # [M, TILE]
-
-    # forward-fill along the lanes (i32: Mosaic lane rolls are 32-bit)
-    s = 1
-    while s < TILE:
-        hi = jnp.where(hi >= 0, hi, _shift_right(hi, s, -1))
-        s *= 2
+    hi = _stream_decode(rd_ref[0].astype(jnp.int32),
+                        win_ref[slot], meta_ref[1, i], M)
 
     _scan_tail(hi.T, q_ref, cwbd_ref, n_valid_ref,
                out_ref, codes_out_ref, oh_ref, u_ref=u_ref)
@@ -501,11 +443,18 @@ def _stream_decode(rd, win, rem_i, M: int):
     winb = win.astype(jnp.int32).astype(jnp.bfloat16)  # [W_A, 8, 128]
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (128, TILE), 0)
     ys = []
+    ohc = None
     for g in range(G):
         e_g = e0 + g
         w_g = e_g // 128
-        c_g = e_g % 128
-        ohc = (iota_c == c_g).astype(jnp.bfloat16)         # [128, TILE]
+        if ohc is None:
+            ohc = (iota_c == e_g % 128).astype(jnp.bfloat16)
+        else:
+            # c_{g+1} = (c_g + 1) mod 128: one sublane rotation of the
+            # previous [128, TILE] one-hot instead of a fresh 128-row
+            # compare (the wrap rows land in the right window group
+            # because w_g advances with e_g)
+            ohc = pltpu.roll(ohc, 1, axis=0)
         yg = jnp.zeros((8, TILE), jnp.float32)
         for w in range(W_A):
             tw = jnp.dot(winb[w], ohc,
