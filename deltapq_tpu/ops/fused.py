@@ -502,3 +502,67 @@ class FusedCompressedEngine:
         rtd = z["row_to_db"]
         self.row_to_db = jnp.asarray(rtd) if len(rtd) else None
         return self
+
+
+class DedupCompressedEngine:
+    """Duplicate-code-collapsed compressed tier.
+
+    Clustered datasets produce heavy PQ-code duplication, and identical
+    codes have identical ADC distances.  The scan kernel's cost is per
+    ROW, so this tier scans each DISTINCT code once and expands row ids
+    at result time: top-k distinct codes by exact distance always cover
+    >= top_k rows (every distinct code has at least one row), so the
+    expanded (distance, id) lists equal the full scan's up to the order
+    among equal-distance duplicates — the same tie semantics as the
+    reference's heap.  Reference counterpart: none; its DTC stream
+    stores a duplicate in ~1.5 bytes but still walks it during every
+    query (``deltapq_create_approx_tree.h:2876-2975``).
+
+    Device-resident bytes = stream tiles over the distinct codes only;
+    the row expansion (sorted permutation + CSR counts) lives on the
+    host.
+    """
+
+    def __init__(self, codewords: np.ndarray, codes_db: np.ndarray,
+                 precision: str = "int8", fmt: str = "stream"):
+        codes_db = np.asarray(codes_db)
+        order = np.lexsort(codes_db.T[::-1])
+        sc = codes_db[order]
+        new = np.ones(len(sc), bool)
+        if len(sc) > 1:
+            new[1:] = np.any(sc[1:] != sc[:-1], axis=1)
+        self.starts = np.flatnonzero(new)
+        self.counts = np.diff(np.append(self.starts, len(sc)))
+        self.order = order
+        self.n_rows = len(codes_db)
+        self.engine = FusedCompressedEngine(
+            codewords, sc[new], precision=precision, fmt=fmt)
+
+    @property
+    def n_unique(self) -> int:
+        return len(self.starts)
+
+    def bytes_per_vec(self) -> float:
+        """Device-resident bytes amortized over ALL rows."""
+        return (self.engine.bytes_per_vec() * self.engine.n_valid
+                / max(self.n_rows, 1))
+
+    def query(self, queries: np.ndarray, top_k: int = 10
+              ) -> Tuple[np.ndarray, np.ndarray]:
+        ku = min(top_k, self.n_unique)
+        d_u, i_u = self.engine.query(queries, top_k=ku)
+        B = len(d_u)
+        out_d = np.full((B, top_k), np.inf, np.float32)
+        out_i = np.full((B, top_k), -1, np.int64)
+        for b in range(B):
+            f = 0
+            for j in range(ku):
+                u = int(i_u[b, j])
+                if u < 0 or f >= top_k:
+                    break
+                s = int(self.starts[u])
+                take = min(int(self.counts[u]), top_k - f)
+                out_i[b, f:f + take] = self.order[s:s + take]
+                out_d[b, f:f + take] = d_u[b, j]
+                f += take
+        return out_d, out_i

@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from deltapq_tpu.ops.adc import query_plain
 from deltapq_tpu.ops.delta_tiles import (build_delta_tiles,
@@ -227,3 +228,36 @@ def test_fused_int8_precision_modes(pq_setup):
                                 row_to_db=order, precision="int8")
     d, i = eng.query(queries, top_k=10)
     np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("precision", ["bf16", "int8"])
+def test_dedup_engine_exact(small_dataset, precision):
+    """Dedup tier == plain scan distances on heavily duplicated codes
+    (ids may permute within equal-distance duplicate groups)."""
+    import jax
+
+    from deltapq_tpu.ops.adc import adc_table, query_plain
+    from deltapq_tpu.ops.encode import pq_encode
+    from deltapq_tpu.ops.fused import DedupCompressedEngine
+    from deltapq_tpu.ops.kmeans import pq_learn
+
+    M, K = 4, 16  # coarse codebook -> many duplicate codes
+    cw = pq_learn(jax.random.key(0), small_dataset, M, K, max_iters=15)
+    codes = np.asarray(pq_encode(cw, small_dataset))
+    eng = DedupCompressedEngine(cw, codes, precision=precision)
+    assert eng.n_unique < len(codes)
+    q = small_dataset[:24] + 0.02
+    d_ref, i_ref = query_plain(cw, q, codes, top_k=10, engine="xla")
+    d, ids = eng.query(q, top_k=10)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)
+    # every returned id's exact table distance equals the reported one
+    tab = np.asarray(adc_table(jnp.asarray(np.asarray(cw)),
+                               jnp.asarray(q)))
+    for b in range(len(q)):
+        for j in range(10):
+            rid = ids[b, j]
+            assert rid >= 0
+            dt = sum(tab[b, m, codes[rid, m]]
+                     for m in range(codes.shape[1]))
+            assert abs(dt - d[b, j]) <= 1e-3 + 1e-5 * abs(dt)
+    assert eng.bytes_per_vec() < codes.shape[1]
