@@ -100,7 +100,8 @@ class DeltaPQIndex:
         """
         from .ops import query_plain
 
-        if self.engine in ("fused", "fused_codes", "fused_compressed"):
+        if self.engine in ("fused", "fused_codes", "fused_compressed",
+                           "fused_dedup"):
             return self._search_fused(queries, top_k)
         q = np.asarray(queries, np.float32)
         fetch = top_k + int(self.deleted.sum())
@@ -148,6 +149,10 @@ class DeltaPQIndex:
             elif self.engine == "fused_codes":
                 self._fused_engine = FusedCodesEngine(
                     self.codewords, codes)
+            elif self.engine == "fused_dedup":
+                from .ops.fused import DedupCompressedEngine
+                self._fused_engine = DedupCompressedEngine(
+                    self.codewords, np.asarray(codes))
             else:
                 if self.tree is not None and len(self.tail) == 0:
                     self._fused_engine = FusedCompressedEngine.from_tree(

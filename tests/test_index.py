@@ -145,3 +145,16 @@ def test_index_m16_compressed(rng):
     st = idx.stats()
     assert "bytes_per_vec" not in st
     assert st["delta_tile_bytes_per_vec"] > 0
+
+
+def test_index_fused_dedup_engine(small_dataset):
+    from deltapq_tpu.index import DeltaPQIndex
+    from deltapq_tpu.ops import query_plain
+
+    idx = DeltaPQIndex.build(small_dataset[:1000], small_dataset,
+                             M=4, K=16, engine="fused_dedup")
+    q = small_dataset[:8] + 0.01
+    d, i = idx.search(q, top_k=5)
+    d_ref, _ = query_plain(idx.codewords, q, idx._all_codes(),
+                           top_k=5, engine="xla")
+    np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)
