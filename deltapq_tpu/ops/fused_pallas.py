@@ -443,18 +443,13 @@ def _stream_decode(rd, win, rem_i, M: int):
     winb = win.astype(jnp.int32).astype(jnp.bfloat16)  # [W_A, 8, 128]
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (128, TILE), 0)
     ys = []
-    ohc = None
     for g in range(G):
         e_g = e0 + g
         w_g = e_g // 128
-        if ohc is None:
-            ohc = (iota_c == e_g % 128).astype(jnp.bfloat16)
-        else:
-            # c_{g+1} = (c_g + 1) mod 128: one sublane rotation of the
-            # previous [128, TILE] one-hot instead of a fresh 128-row
-            # compare (the wrap rows land in the right window group
-            # because w_g advances with e_g)
-            ohc = pltpu.roll(ohc, 1, axis=0)
+        # NOTE: deriving ohc for g>0 by a sublane roll of g=0's
+        # one-hot fails to lower (Mosaic: "Rotate with non-32-bit
+        # data" on bf16 vectors); each g keeps its own compare
+        ohc = (iota_c == e_g % 128).astype(jnp.bfloat16)
         yg = jnp.zeros((8, TILE), jnp.float32)
         for w in range(W_A):
             tw = jnp.dot(winb[w], ohc,
