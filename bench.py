@@ -185,9 +185,9 @@ def main():
             mins, echo = fp.fused_stream_mins(
                 qq.T, cwbd, rd, vals, meta, jnp.int32(N),
                 eng.tiles.e_max, M, u=uq[None, :])
-            mins = mins * s2
+            # scale^2 rescale AFTER pooling (commutes with min)
             d, r, ok = fp.select_rerank(
-                fp.pool_mins_nb(mins, pool), q2, tab, echo,
+                fp.pool_mins_nb(mins, pool) * s2, q2, tab, echo,
                 jnp.int32(N), top_k, ns, pool, prepooled=True,
                 err_r=e_q + err_c)
             return acc + jnp.sum(d) + jnp.sum(r).astype(jnp.float32)

@@ -66,7 +66,7 @@ def _default_n_sub(top_k: int, n_units: int, unit: int) -> int:
 
 def _select_with_escalation(mins_nb, q2, table, codes_dev, n_valid,
                             top_k, n_sub=None, invalid=None,
-                            err_r=None):
+                            err_r=None, scale2=None):
     """Run select_rerank, escalating the candidate pool 4x whenever a
     query's exactness certificate fails (equal-distance pileups at the
     fence), with a terminal full exact scan.  ``mins_nb`` arrives in
@@ -83,6 +83,11 @@ def _select_with_escalation(mins_nb, q2, table, codes_dev, n_valid,
     ns = n_sub or _default_n_sub(top_k, n_units, unit)
     ns = min(ns, max(n_units - 1, 1))
     mins_bn = fp.pool_mins_nb(mins_nb, pool)
+    if scale2 is not None:
+        # int8 scale^2 rescale AFTER pooling: min-pool commutes with a
+        # positive scale, and the pooled [B, NS/pool] is ``pool``x
+        # smaller than the kernel-layout [NS, B] it replaces
+        mins_bn = mins_bn * scale2
     # escalation ceiling: the rerank gathers ns*unit rows per query —
     # cap the candidate pool at 64k rows and fall through to the full
     # exact scan beyond that (rare: tie-saturated data)
@@ -267,7 +272,7 @@ class FusedCodesEngine:
             qop, self.cwbd, self.codes, jnp.int32(self.n_valid),
             u=uq)
         if self.precision == "int8":
-            mins = mins * jnp.float32(self.scale * self.scale)
+            scale2 = jnp.float32(self.scale * self.scale)
             # certificate geometry lives in the quantized domain:
             # fence + q2 must equal ||x_qs - q_qs||^2 exactly (with
             # q_qs = scale*u*qq), so q2 here is the QUANTIZED query
@@ -280,9 +285,11 @@ class FusedCodesEngine:
             err_r = eq + jnp.float32(self.err_c)
         else:
             err_r = None
+            scale2 = None
         d, rows, frac = _select_with_escalation(
             mins, q2, table, codes_echo, jnp.int32(self.n_valid),
-            top_k, n_sub, invalid=invalid, err_r=err_r)
+            top_k, n_sub, invalid=invalid, err_r=err_r,
+            scale2=scale2)
         self.last_exact_frac = frac
         if self.row_to_db is not None:
             mapped = jnp.take(self.row_to_db,
@@ -425,7 +432,7 @@ class FusedCompressedEngine:
                 qop, self.cwbd, self.row_data, self.ovf,
                 jnp.int32(self.n_valid), self.tiles.S, u=uq)
         if self.precision == "int8":
-            mins = mins * jnp.float32(self.scale * self.scale)
+            scale2 = jnp.float32(self.scale * self.scale)
             # certificate geometry lives in the quantized domain:
             # fence + q2 must equal ||x_qs - q_qs||^2 exactly (with
             # q_qs = scale*u*qq), so q2 here is the QUANTIZED query
@@ -438,9 +445,11 @@ class FusedCompressedEngine:
             err_r = eq + jnp.float32(self.err_c)
         else:
             err_r = None
+            scale2 = None
         d, rows, frac = _select_with_escalation(
             mins, q2, table, codes_echo, jnp.int32(self.n_valid),
-            top_k, n_sub, invalid=invalid, err_r=err_r)
+            top_k, n_sub, invalid=invalid, err_r=err_r,
+            scale2=scale2)
         self.last_exact_frac = frac
         if self.row_to_db is not None:
             mapped = jnp.take(self.row_to_db,

@@ -44,6 +44,7 @@ the subtile-min is a static loop of contiguous [SUB, B] block reduces
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -58,6 +59,18 @@ SUB = 32      # rows per subtile-min
 
 def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
+
+
+def _no_ut() -> bool:
+    return bool(os.environ.get("DELTAPQ_NO_UT"))
+
+
+def _no_dig() -> bool:
+    # ||xhat||^2 via 3-digit int8 matmul measured SLOWER than the VPU
+    # square+reduce in every kernel variant (+0.9-1.1 ms at 1M/B=512:
+    # the extra 16-pass K-dim matmul outweighs the reduce) — off
+    # unless explicitly enabled
+    return not bool(os.environ.get("DELTAPQ_DIG"))
 
 
 def _subtile_mins(d: jnp.ndarray, out_ref) -> None:
@@ -217,7 +230,7 @@ def _groups_of(M: int) -> Tuple[int, int]:
 
 
 def _scan_tail(H, q_ref, cwbd_ref, n_valid_ref, out_ref, codes_out_ref,
-               oh_ref, u_ref=None):
+               oh_ref, u_ref=None, dig_ref=None):
     """Shared tail: codes H [TILE, M] i32 -> one-hot decode -> matmul ->
     subtile mins, per subspace group (``group_geometry``).
 
@@ -251,8 +264,20 @@ def _scan_tail(H, q_ref, cwbd_ref, n_valid_ref, out_ref, codes_out_ref,
             # block-diagonal selection: every entry is one int8
             # codebook value, so the narrowing cast is exact
             x8 = xq.astype(jnp.int8)
-            pre = pre + jnp.sum(xq * xq, axis=1,
-                                keepdims=True).astype(jnp.float32)
+            if dig_ref is not None:
+                # ||xhat||^2 on the MXU: per-codeword norm^2 split
+                # into 3 base-128 int8 digits (exact: max norm^2 =
+                # 127^2*Dg < 128^3), selected by the same one-hot —
+                # replaces a [TILE, Dg] square + cross-lane reduce on
+                # the VPU with one narrow int8 matmul
+                dg = dig_ref[g * Mg * K:(g + 1) * Mg * K, :]
+                xd = jnp.dot(oh_ref[:], dg,
+                             preferred_element_type=jnp.int32)
+                pre = pre + ((xd[:, 2:3] * 128 + xd[:, 1:2]) * 128
+                             + xd[:, 0:1]).astype(jnp.float32)
+            else:
+                pre = pre + jnp.sum(xq * xq, axis=1,
+                                    keepdims=True).astype(jnp.float32)
             cross = cross + jnp.dot(
                 x8, qg, preferred_element_type=jnp.int32
             ).astype(jnp.float32)                          # [TILE, B]
@@ -274,11 +299,13 @@ def _scan_tail(H, q_ref, cwbd_ref, n_valid_ref, out_ref, codes_out_ref,
     codes_out_ref[:] = H.astype(jnp.uint8)
 
 
-def _codes_mins_kernel(q_ref, u_ref, cwbd_ref, n_valid_ref, codes_ref,
-                       out_ref, codes_out_ref, oh_ref):
+def _codes_mins_kernel(q_ref, u_ref, cwbd_ref, n_valid_ref, dig_ref,
+                       codes_ref, out_ref, codes_out_ref, oh_ref):
     _scan_tail(codes_ref[:].astype(jnp.int32), q_ref, cwbd_ref,
                n_valid_ref, out_ref, codes_out_ref, oh_ref,
-               u_ref=u_ref)
+               u_ref=u_ref,
+               dig_ref=(dig_ref if cwbd_ref.dtype == jnp.int8
+                        and not _no_dig() else None))
 
 
 def _shift_right(x: jnp.ndarray, s: int, fill) -> jnp.ndarray:
@@ -288,9 +315,9 @@ def _shift_right(x: jnp.ndarray, s: int, fill) -> jnp.ndarray:
     return jnp.where(cols >= s, rolled, fill)
 
 
-def _delta_mins_kernel(q_ref, u_ref, cwbd_ref, n_valid_ref, rd_ref,
-                       ovf_ref, out_ref, codes_out_ref, oh_ref, *,
-                       S: int):
+def _delta_mins_kernel(q_ref, u_ref, cwbd_ref, n_valid_ref, dig_ref,
+                       rd_ref, ovf_ref, out_ref, codes_out_ref,
+                       oh_ref, *, S: int):
     """Delta-tile decode + scan.  rd [1, P+S, TILE] u8 (P = ceil(M/8)
     mask planes); ovf [1, M, Cap] u8.  See ``delta_tiles.py``.
 
@@ -358,13 +385,15 @@ def _delta_mins_kernel(q_ref, u_ref, cwbd_ref, n_valid_ref, rd_ref,
         s *= 2
 
     _scan_tail(H.T, q_ref, cwbd_ref, n_valid_ref, out_ref,
-               codes_out_ref, oh_ref, u_ref=u_ref)
+               codes_out_ref, oh_ref, u_ref=u_ref,
+               dig_ref=(dig_ref if cwbd_ref.dtype == jnp.int8
+                        and not _no_dig() else None))
 
 
 def _stream_mins_kernel(meta_ref, q_ref, u_ref, cwbd_ref, n_valid_ref,
-                        rd_ref, vals_ref, out_ref, codes_out_ref,
-                        oh_ref, win_ref, sem_ref, *, M: int, W_A: int,
-                        nt: int):
+                        rd_ref, ut_ref, dig_ref, vals_ref, out_ref,
+                        codes_out_ref, oh_ref, win_ref, sem_ref, *,
+                        M: int, W_A: int, nt: int):
     """Stream-tile decode + scan (format v2, ``stream_tiles.py``).
 
     rd [1, P, TILE] u8 mask planes; vals [A, 8, 128] u8 stays in HBM
@@ -404,16 +433,22 @@ def _stream_mins_kernel(meta_ref, q_ref, u_ref, cwbd_ref, n_valid_ref,
         win_ref.at[slot], sem_ref.at[slot]).wait()
 
     hi = _stream_decode(rd_ref[0].astype(jnp.int32),
-                        win_ref[slot], meta_ref[1, i], M)
+                        win_ref[slot], meta_ref[1, i], M,
+                        ut=None if _no_ut() else ut_ref[:])
 
     _scan_tail(hi.T, q_ref, cwbd_ref, n_valid_ref,
-               out_ref, codes_out_ref, oh_ref, u_ref=u_ref)
+               out_ref, codes_out_ref, oh_ref, u_ref=u_ref,
+               dig_ref=(dig_ref if cwbd_ref.dtype == jnp.int8
+                        and not _no_dig() else None))
 
 
-def _stream_decode(rd, win, rem_i, M: int):
+def _stream_decode(rd, win, rem_i, M: int, ut=None):
     """Decode one stream tile: mask planes + value window -> codes
     H [M, TILE] i32.  rd [P, TILE] i32; win [W_A, 8, 128] u8 (the
-    tile's DMA'd value window); rem_i scalar i32 (in-window start)."""
+    tile's DMA'd value window); rem_i scalar i32 (in-window start);
+    ut optional [TILE, TILE] strict-upper-tri int8 — when given, the
+    per-lane offset prefix sum runs as ONE int8 MXU matmul instead of
+    the 10-step Hillis roll chain (measured -0.3 ms/batch at 1M)."""
     P = (M + 7) // 8
     G = (7 + M + 7) // 8
     W_A = win.shape[0]
@@ -431,12 +466,16 @@ def _stream_decode(rd, win, rem_i, M: int):
                    preferred_element_type=jnp.float32).astype(jnp.int32)
     nd = jnp.sum(bitm, axis=0, keepdims=True)              # [1, TILE]
 
-    acc = nd
-    s = 1
-    while s < TILE:
-        acc = acc + _shift_right(acc, s, 0)
-        s *= 2
-    p0 = (acc - nd) + rem_i                                # [1, TILE]
+    if ut is not None:
+        p0 = jnp.dot(nd.astype(jnp.int8), ut,
+                     preferred_element_type=jnp.int32) + rem_i
+    else:
+        acc = nd
+        s = 1
+        while s < TILE:
+            acc = acc + _shift_right(acc, s, 0)
+            s *= 2
+        p0 = (acc - nd) + rem_i                            # [1, TILE]
     e0 = p0 // 8
     a0 = p0 % 8
 
@@ -477,10 +516,11 @@ def _stream_decode(rd, win, rem_i, M: int):
 
 
 def _stream_mins_pipelined_kernel(meta_ref, q_ref, u_ref, cwbd_ref,
-                                  n_valid_ref, rd_ref, vals_ref,
-                                  out_ref, codes_out_ref, oh_ref,
-                                  win_ref, sem_ref, *, M: int,
-                                  W_A: int, nt: int):
+                                  n_valid_ref, rd_ref, ut_ref,
+                                  dig_ref, vals_ref, out_ref,
+                                  codes_out_ref, oh_ref, win_ref,
+                                  sem_ref, *, M: int, W_A: int,
+                                  nt: int):
     """Software-pipelined stream kernel (G == 1 subspace groups).
 
     Grid has nt+1 steps.  Step i DECODES tile i (stream gather,
@@ -544,15 +584,24 @@ def _stream_mins_pipelined_kernel(meta_ref, q_ref, u_ref, cwbd_ref,
 
     # -- decode(i): VPU chain, independent of xq ----------------------
     hi = _stream_decode(rd_ref[0].astype(jnp.int32),
-                        win_ref[slot], meta_ref[1, i], M)
+                        win_ref[slot], meta_ref[1, i], M,
+                        ut=None if _no_ut() else ut_ref[:])
     H = hi.T                                               # [TILE, M]
     codes_out_ref[:] = H.astype(jnp.uint8)
 
     # -- scan(i-1) part 2: consume xq, issue the cross matmul ---------
     if int8_mode:
         x8 = xq.astype(jnp.int8)
-        pre = jnp.sum(xq * xq, axis=1,
-                      keepdims=True).astype(jnp.float32)
+        if _no_dig():
+            pre = jnp.sum(xq * xq, axis=1,
+                          keepdims=True).astype(jnp.float32)
+        else:
+            # ||xhat||^2 via the 3-digit int8 norm matmul
+            # (see _scan_tail)
+            xd = jnp.dot(oh, dig_ref[:],
+                         preferred_element_type=jnp.int32)
+            pre = ((xd[:, 2:3] * 128 + xd[:, 1:2]) * 128
+                   + xd[:, 0:1]).astype(jnp.float32)
         cross = jnp.dot(x8, q_ref[:],
                         preferred_element_type=jnp.int32
                         ).astype(jnp.float32) * u_ref[:]
@@ -573,6 +622,29 @@ def _stream_mins_pipelined_kernel(meta_ref, q_ref, u_ref, cwbd_ref,
     d = jnp.where(base + rows < n_valid_ref[0, 0],
                   pre - 2.0 * cross, jnp.inf)
     _subtile_mins(d, out_ref)
+
+
+def _upper_tri_i8() -> jnp.ndarray:
+    """[TILE, TILE] strict upper triangle, int8: ``nd @ ut`` is the
+    exclusive prefix sum of nd over lanes as one MXU matmul."""
+    r = jnp.arange(TILE, dtype=jnp.int32)
+    return (r[:, None] < r[None, :]).astype(jnp.int8)
+
+
+def _norm_digits(cwbd: jnp.ndarray) -> jnp.ndarray:
+    """Per-codeword ||.||^2 as 3 base-128 int8 digits, [MKs, 8]
+    (lanes 3-7 zero).  Exact: max norm^2 = 127^2 * Dg <= 128^3 - 1
+    for Dg <= 128.  In bf16 mode the kernel ignores this operand."""
+    if cwbd.dtype == jnp.int8:
+        n = jnp.sum(jnp.square(cwbd.astype(jnp.int32)), axis=1)
+    else:
+        n = jnp.zeros((cwbd.shape[0],), jnp.int32)
+    d0 = n % 128
+    d1 = (n // 128) % 128
+    d2 = n // (128 * 128)
+    z = jnp.zeros_like(d0)
+    return jnp.stack([d0, d1, d2, z, z, z, z, z],
+                     axis=1).astype(jnp.int8)
 
 
 @functools.partial(jax.jit, static_argnames=("e_max", "M"))
@@ -604,7 +676,13 @@ def fused_stream_mins(q: jnp.ndarray, cwbd: jnp.ndarray,
     # around compute fences the Mosaic scheduler — measured slower
     # than serial).  Inputs gain a dummy tile (row_data zeros, meta 0)
     # and each output one sacrificial block, sliced off below.
-    pipelined = (G_ == 1 and not _interpret())
+    # measured on-chip (tools/bench_stream_knobs.py, 1M/B=512 int8):
+    # serial+prefix-matmul 5.49 ms vs pipelined 5.70/6.19 — the
+    # hand-interleaved pipeline loses once the offset prefix sum runs
+    # on the MXU (it serializes against the scan matmuls), so serial
+    # is the default and the pipeline stays behind an env knob
+    pipelined = (G_ == 1 and not _interpret()
+                 and bool(os.environ.get("DELTAPQ_STREAM_PIPELINED")))
     nsteps = nt + 1 if pipelined else nt
     if pipelined:
         kernel = functools.partial(_stream_mins_pipelined_kernel,
@@ -635,6 +713,10 @@ def fused_stream_mins(q: jnp.ndarray, cwbd: jnp.ndarray,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, P, TILE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, TILE), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((MKs, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
@@ -660,7 +742,7 @@ def fused_stream_mins(q: jnp.ndarray, cwbd: jnp.ndarray,
             transcendentals=0),
         interpret=_interpret(),
     )(meta, q, u, cwbd, jnp.asarray(n_valid, jnp.int32).reshape(1, 1),
-      row_data, vals)
+      row_data, _upper_tri_i8(), _norm_digits(cwbd), vals)
     if pipelined:
         # mins block i = scan of tile i-1 (block 0 is the step-0
         # garbage scan); codes block i = decode of tile i (block nt is
@@ -709,6 +791,8 @@ def _mins_call(kernel, data_specs, data_args, q, cwbd, n_valid, nt, M,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((MKs, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             *data_specs,
         ],
         out_specs=[
@@ -732,7 +816,7 @@ def _mins_call(kernel, data_specs, data_args, q, cwbd, n_valid, nt, M,
             transcendentals=0),
         interpret=_interpret(),
     )(q, u, cwbd, jnp.asarray(n_valid, jnp.int32).reshape(1, 1),
-      *data_args)
+      _norm_digits(cwbd), *data_args)
 
 
 @jax.jit

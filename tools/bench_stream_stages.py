@@ -18,7 +18,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-ABLATIONS = ("full", "u_matmul", "u_i8ohc", "u_i8_dynfill")
+ABLATIONS = tuple(
+    os.environ.get("ABLATIONS", "full,u_matmul,u_i8ohc,u_i8_dynfill"
+                   ).split(","))
 
 
 def make_kernel(M, W_A, nt, ablate):
