@@ -81,10 +81,11 @@ def main():
         res[it] = min(ts)
     t = (res[12] - res[2]) / 10
     tag = "+".join(
-        [("serial" if os.environ.get("DELTAPQ_STREAM_SERIAL")
-          else "pipe"),
+        [("pipe" if os.environ.get("DELTAPQ_STREAM_PIPELINED")
+          else "serial"),
          ("hillis" if os.environ.get("DELTAPQ_NO_UT") else "utmm"),
-         ("sqpre" if os.environ.get("DELTAPQ_NO_DIG") else "digpre")])
+         ("digpre" if os.environ.get("DELTAPQ_DIG") else "sqpre"),
+         f"tile{__import__('deltapq_tpu.ops.fused_pallas', fromlist=['TILE']).TILE}"])
     print(f"{tag:22s}: {t*1000:6.2f} ms/batch", flush=True)
 
 
