@@ -97,6 +97,8 @@ def main():
 
     M, K, Ds = 8, 256, 16
     N, B, top_k = 1_048_576, 512, 10
+    if len(sys.argv) > 1:       # optional batch-size override for
+        B = int(sys.argv[1])    # scaling A/Bs (headline stays B=512)
     D = M * Ds
 
     rng = np.random.default_rng(0)
