@@ -51,10 +51,21 @@ def _pad_queries(queries: np.ndarray, d_pad: int, b_mult: int = 128
 
 
 def _pool_for(ns_total: int) -> int:
-    """Min-pool factor for the selection epilogue.  The [B, NS] exact
-    top_k is cheap up to NS ~ 10^5 (~0.13 ms at 32768); beyond that
-    (N > ~4M rows) coarsen the candidate unit 8x to keep it bounded."""
-    return 8 if ns_total > 131072 else 1
+    """Min-pool factor for the selection epilogue: coarsen the
+    candidate unit so the [B, NS/pool] top_k + relayout stay small.
+    On-chip sweep at 1M/B=512 (stream tier): pool 1/2/4/8 = 6.91 /
+    6.92 / 6.58 / 7.16 ms — 4 balances the top_k+transpose saving
+    against the larger rerank unit, so 4 is the mid-range default;
+    tiny databases keep exact unit granularity and huge ones coarsen
+    8x.  The fence bound stays valid at any pool (a pooled min
+    lower-bounds all its rows); a coarser fence only costs escalation
+    frequency, never exactness."""
+    import os
+    if os.environ.get("DELTAPQ_POOL"):       # epilogue experiments
+        return int(os.environ["DELTAPQ_POOL"])
+    if ns_total <= 4096:
+        return 1
+    return 8 if ns_total > 131072 else 4
 
 
 def _default_n_sub(top_k: int, n_units: int, unit: int) -> int:
