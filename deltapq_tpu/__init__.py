@@ -11,6 +11,28 @@ follows.  Layers:
 - ``deltapq_tpu.parallel`` mesh sharding, multi-chip query execution
 """
 
+import os as _os
+
+if _os.environ.get("DELTAPQ_COMPCACHE", "1") != "0":
+    # Persistent XLA compilation cache: the fused query path compiles
+    # a kernel per (shape, ns-rung) and a remote-backend compile runs
+    # tens of seconds each — a cold 2M-row first query measured 910 s
+    # of compilation (BIGRUN r2).  Caching makes every later process
+    # (serving restart, bench re-run, bigrun) hit warm.  Off:
+    # DELTAPQ_COMPCACHE=0.
+    try:  # pragma: no cover - trivial config
+        import jax as _jax
+
+        _cache = _os.environ.get(
+            "DELTAPQ_COMPCACHE_DIR",
+            _os.path.expanduser("~/.cache/deltapq_xla"))
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 from .config import (PQConfig, TreeConfig, QueryConfig, ShardConfig)
 from .index import DeltaPQIndex
 
