@@ -1,0 +1,105 @@
+"""Wave-coalescing serving layer (``deltapq_tpu/serving.py``)."""
+
+import numpy as np
+import pytest
+
+from deltapq_tpu.ops.fused import FusedCodesEngine
+from deltapq_tpu.ops.encode import pq_encode
+from deltapq_tpu.ops.kmeans import pq_learn
+from deltapq_tpu.serving import CoalescingServer, query_coalesced
+
+
+@pytest.fixture(scope="module")
+def small_engine():
+    import jax
+
+    rng = np.random.default_rng(3)
+    n, d = 4096, 32
+    centers = rng.normal(size=(64, d)).astype(np.float32) * 3
+    x = (centers[rng.integers(0, 64, size=n)]
+         + rng.normal(size=(n, d)).astype(np.float32) * 0.2)
+    cw = pq_learn(jax.random.PRNGKey(0), x, M=4, K=16, max_iters=15)
+    codes = np.asarray(pq_encode(cw, x))
+    eng = FusedCodesEngine(np.asarray(cw), codes)
+    qs = rng.normal(size=(48, d)).astype(np.float32) * 2
+    return eng, qs
+
+
+def test_query_coalesced_matches_individual(small_engine):
+    eng, qs = small_engine
+    batches = [qs[:7], qs[7:20], qs[20:21], qs[21:48]]
+    got = query_coalesced(eng, batches, top_k=5, wave_rows=24)
+    assert len(got) == len(batches)
+    for b, (d, ids) in zip(batches, got):
+        dr, idr = eng.query(b, top_k=5)
+        np.testing.assert_allclose(d, dr, rtol=1e-5, atol=1e-4)
+        np.testing.assert_array_equal(ids, idr)
+
+
+def test_server_coalesces_and_matches(small_engine):
+    eng, qs = small_engine
+
+    class Counting:
+        def __init__(self, e):
+            self.e, self.calls, self.sizes = e, 0, []
+
+        def query(self, q, top_k):
+            self.calls += 1
+            self.sizes.append(len(q))
+            return self.e.query(q, top_k=top_k)
+
+    ce = Counting(eng)
+    with CoalescingServer(ce, wave_rows=32, max_wait_ms=200,
+                          top_k=5) as srv:
+        futs = [srv.submit(qs[i:i + 8]) for i in range(0, 48, 8)]
+        outs = [f.result(timeout=30) for f in futs]
+    # 6 waves of 8 rows -> at most 2 dispatches of <= 32 rows
+    assert ce.calls <= 2 and srv.rows_served == 48
+    assert all(s <= 32 for s in ce.sizes)
+    for i, (d, ids) in enumerate(outs):
+        dr, idr = eng.query(qs[8 * i:8 * i + 8], top_k=5)
+        np.testing.assert_allclose(d, dr, rtol=1e-5, atol=1e-4)
+        np.testing.assert_array_equal(ids, idr)
+
+
+def test_server_partial_wave_flushes_on_timeout(small_engine):
+    eng, qs = small_engine
+    with CoalescingServer(eng, wave_rows=4096, max_wait_ms=20,
+                          top_k=3) as srv:
+        d, ids = srv.submit(qs[:5]).result(timeout=30)
+    dr, idr = eng.query(qs[:5], top_k=3)
+    np.testing.assert_array_equal(ids, idr)
+    assert srv.dispatches == 1
+
+
+def test_server_never_splits_a_submitted_wave(small_engine):
+    eng, qs = small_engine
+
+    class Sizes:
+        def __init__(self, e):
+            self.e, self.sizes = e, []
+
+        def query(self, q, top_k):
+            self.sizes.append(len(q))
+            return self.e.query(q, top_k=top_k)
+
+    se = Sizes(eng)
+    with CoalescingServer(se, wave_rows=16, max_wait_ms=50,
+                          top_k=3) as srv:
+        futs = [srv.submit(qs[:12]), srv.submit(qs[12:24]),
+                srv.submit(qs[24:36])]
+        [f.result(timeout=30) for f in futs]
+    # 12-row waves into 16-row dispatches: each dispatch is exactly one
+    # wave (12 + 12 > 16 would split otherwise)
+    assert all(s == 12 for s in se.sizes)
+
+
+def test_server_blocking_query_and_close(small_engine):
+    eng, qs = small_engine
+    srv = CoalescingServer(eng, wave_rows=8, top_k=3)
+    d, ids = srv.query(qs[:8])
+    dr, idr = eng.query(qs[:8], top_k=3)
+    np.testing.assert_array_equal(ids, idr)
+    srv.close()
+    with pytest.raises(RuntimeError):
+        srv.submit(qs[:1])
