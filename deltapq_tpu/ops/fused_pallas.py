@@ -65,6 +65,16 @@ def _no_ut() -> bool:
     return bool(os.environ.get("DELTAPQ_NO_UT"))
 
 
+def _stage_iso() -> str:
+    # MEASUREMENT-ONLY stage isolation for the stream kernel (results
+    # are wrong when set): "nodecode" stubs the stream decode,
+    # "noscan" skips the scan tail's one-hot + matmuls, "nooh" skips
+    # only the one-hot compare-build (matmuls run on stale scratch),
+    # "novg" stubs the decode's value-gather.  Read at trace time;
+    # see tools/bench_stream_knobs.py.
+    return os.environ.get("DELTAPQ_STAGEISO", "")
+
+
 def _no_dig() -> bool:
     # ||xhat||^2 via 3-digit int8 matmul measured SLOWER than the VPU
     # square+reduce in every kernel variant (+0.9-1.1 ms at 1M/B=512:
@@ -247,11 +257,20 @@ def _scan_tail(H, q_ref, cwbd_ref, n_valid_ref, out_ref, codes_out_ref,
     Dg = cwbd_ref.shape[1]
     int8_mode = cwbd_ref.dtype == jnp.int8
     oh_dtype = jnp.int8 if int8_mode else jnp.bfloat16
+    iso = _stage_iso()
+    if iso == "noscan":
+        d = jnp.broadcast_to(H[:, :1].astype(jnp.float32),
+                             (TILE, q_ref.shape[1]))
+        _subtile_mins(d, out_ref)
+        codes_out_ref[:] = H.astype(jnp.uint8)
+        return
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (TILE, K), 1)
     pre = jnp.zeros((TILE, 1), jnp.float32)
     cross = jnp.zeros((TILE, q_ref.shape[1]), jnp.float32)
     for g in range(G):
         for mi in range(Mg):
+            if iso == "nooh":
+                break
             m = g * Mg + mi
             oh_ref[:, mi * K:(mi + 1) * K] = (
                 (H[:, m:m + 1] == iota_k).astype(oh_dtype)
@@ -452,6 +471,8 @@ def _stream_decode(rd, win, rem_i, M: int, ut=None):
     P = (M + 7) // 8
     G = (7 + M + 7) // 8
     W_A = win.shape[0]
+    if _stage_iso() == "nodecode":
+        return jnp.broadcast_to(rd[:1] & 127, (M, rd.shape[1]))
     planes = []
     for p in range(P):
         mp = min(8, M - 8 * p)
@@ -479,6 +500,19 @@ def _stream_decode(rd, win, rem_i, M: int, ut=None):
     e0 = p0 // 8
     a0 = p0 % 8
 
+    if _stage_iso() == "novg":
+        # stub the two-level value gather, keep p0/rank/forward-fill
+        v = jnp.broadcast_to((p0 & 127).astype(jnp.float32),
+                             (M, TILE))
+        h = jnp.zeros((M, TILE), jnp.float32)
+        for u in range(M):
+            h = h + v[u:u + 1] * (rank == u).astype(jnp.float32)
+        hi = jnp.where(bitm == 1, h.astype(jnp.int32), -1)
+        s = 1
+        while s < TILE:
+            hi = jnp.where(hi >= 0, hi, _shift_right(hi, s, -1))
+            s *= 2
+        return hi
     winb = win.astype(jnp.int32).astype(jnp.bfloat16)  # [W_A, 8, 128]
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (128, TILE), 0)
     ys = []

@@ -85,7 +85,9 @@ def main():
           else "serial"),
          ("hillis" if os.environ.get("DELTAPQ_NO_UT") else "utmm"),
          ("digpre" if os.environ.get("DELTAPQ_DIG") else "sqpre"),
-         f"tile{__import__('deltapq_tpu.ops.fused_pallas', fromlist=['TILE']).TILE}"])
+         f"tile{__import__('deltapq_tpu.ops.fused_pallas', fromlist=['TILE']).TILE}"]
+        + ([os.environ["DELTAPQ_STAGEISO"]]
+           if os.environ.get("DELTAPQ_STAGEISO") else []))
     print(f"{tag:22s}: {t*1000:6.2f} ms/batch", flush=True)
 
 
