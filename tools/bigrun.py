@@ -48,6 +48,12 @@ def main():
     top_k = 10
     report = {"n": n_total, "n_parts": n_parts, "n_queries": n_q}
 
+    def checkpoint():
+        # phase-incremental write: a killed run still lands the phases
+        # it finished (the 20M/100M runs are tens of minutes)
+        with open(os.path.join(ROOT, "BIGRUN.json"), "w") as f:
+            json.dump(report, f, indent=1)
+
     import jax
 
     from deltapq_tpu.bigscale import BigCompressedIndex, encode_stream
@@ -79,6 +85,7 @@ def main():
                   M=M, K=K, max_iters=60)
     report["t_learn_s"] = round(time.time() - t0, 1)
     print(f"[bigrun] learn {report['t_learn_s']}s", flush=True)
+    checkpoint()
 
     t0 = time.time()
     codes = encode_stream(cw, chunks())
@@ -87,6 +94,7 @@ def main():
         host_mem_usage()["rss_kb"] / 1024, 1)
     print(f"[bigrun] encode {report['t_encode_s']}s "
           f"rss={report['mem_after_encode_mb']}MB", flush=True)
+    checkpoint()
 
     t0 = time.time()
     idx = BigCompressedIndex(cw, codes, n_parts=n_parts, workers=2)
@@ -100,6 +108,7 @@ def main():
     print(f"[bigrun] build {report['t_build_s']}s "
           f"(sort {report['t_sort_s']}s trees {report['t_trees_s']}s) "
           f"{report['bytes_per_vec']} B/vec", flush=True)
+    checkpoint()
 
     # warm + timed query
     t0 = time.time()
@@ -111,6 +120,7 @@ def main():
     report["qps"] = round(n_q / max(time.time() - t0, 1e-9), 1)
     print(f"[bigrun] query batch {report['t_query_batch_s']}s",
           flush=True)
+    checkpoint()
 
     # kernel/epilogue split (VERDICT r2 #6): time the scan kernels
     # alone across all chunks, same query batch
@@ -148,6 +158,7 @@ def main():
               f"over {len(engines)} chunk(s)", flush=True)
     except Exception as e:  # breakdown is best-effort
         report["t_kernel_only_err"] = repr(e)[:200]
+    checkpoint()
 
     t0 = time.time()
     gt_d, gt_i = exact_topk(queries, chunks(), top_k=top_k,
