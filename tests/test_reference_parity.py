@@ -300,13 +300,60 @@ def test_parity_100k_compression_and_recall(tmp_path):
 @slow
 def test_parity_gist_shape_plain_recall(tmp_path):
     """GIST1M-shaped config (960-dim, M=16) plain-path parity vs the
-    compiled reference: recall@10 equality on its codes/groundtruth
-    (BASELINE config 3 shape; DTC serialization is M<=8-only in the
-    reference format, so the compressed leg does not apply)."""
-    n, dim, m, nq = 100_000, 960, 16, 20
+    compiled reference: recall@10 on its codes/groundtruth (BASELINE
+    config 3 shape; DTC serialization is M<=8-only in the reference
+    format, so the compressed leg does not apply).
+
+    nq=200 so one tie flip (0.0005) is far below the 0.005 tolerance
+    (VERDICT r3 weak #3: at nq=20 a single flipped neighbor equalled
+    the tolerance and the test failed deterministically).  Every
+    per-query overlap discrepancy is additionally audited to be a
+    provable f64 near-tie at the ADC top-10 boundary — the round-4
+    diagnosis (tools/diag_gist_parity.py) measured 90/200 queries with
+    boundary ties explaining the entire residual, 0 real divergences."""
+    n, dim, m, nq = 100_000, 960, 16, 200
     root = str(tmp_path)
     run = _make_ref_pipeline(root, n, dim, m, nlearn=5_000, nq=nq,
                              ncl=2000)
-    rec_ref = _ref_recall_at10(run, root, n, m, nq)
-    rec_ours = _our_recall_at10(root, n, m, nq)
+    os.makedirs(os.path.join(root, "groundtruth"), exist_ok=True)
+    run("pqtree", "-task", "groundtruth", "-m", str(m), "-k", str(K),
+        "-N", str(n), "-topk", "10", "-query_size", str(nq))
+    src = os.path.join(root, "groundtruth", f"N{n}Top10.txt")
+    dst = os.path.join(root, "groundtruth", f"N{n}Top10000.txt")
+    if not os.path.exists(dst):
+        os.link(src, dst)
+    out = run("pqtree", "-task", "recall", "-m", str(m), "-k", str(K),
+              "-N", str(n), "-topk", "10", "-query_size", str(nq),
+              "-debug", "1")
+    # -debug prints the cumulative score after each query: recover
+    # per-query overlap as the difference of consecutive cumulatives
+    cums = np.array([float(x) for x in re.findall(
+        r"^([01](?:\.\d+)?(?:e-?\d+)?)$", out.stdout, re.M)][:nq])
+    assert len(cums) == nq
+    per_q_ref = np.round(np.diff(np.concatenate(
+        [[0.0], cums * np.arange(1, nq + 1)])) * 10) / 10
+    rec_ref = float(cums[-1])
+
+    from deltapq_tpu.io import read_groundtruth, read_vecs
+    cw = read_codewords(os.path.join(root, f"M{m}K{K}codewords.txt"))
+    codes, _ = read_codes(
+        os.path.join(root, f"codes.bin.plain.M{m}K{K}N{n}"), M=m, K=K)
+    queries = read_vecs(os.path.join(root, "query.fvecs"))[:nq]
+    gt_ids, _ = read_groundtruth(src)
+    _, ids = query_plain(cw, queries, codes, top_k=10, engine="xla")
+    per_q_ours = np.array([
+        len(set(ids[q].tolist()) & set(gt_ids[q, :10].tolist())) / 10
+        for q in range(nq)])
+    rec_ours = float(per_q_ours.mean())
     assert abs(rec_ours - rec_ref) <= 0.005, (rec_ours, rec_ref)
+
+    # tie audit: an overlap discrepancy requires the two sides' ADC
+    # top-10 SETS to differ, which (same codes, same table) can only
+    # happen via fp rounding at the boundary — prove it in f64
+    table = np.asarray(adc_table(cw, queries)).astype(np.float64)
+    ci = codes.astype(np.int64)
+    for q in np.flatnonzero(np.abs(per_q_ours - per_q_ref) > 1e-6):
+        d64 = table[q, np.arange(m)[None, :], ci].sum(axis=1)
+        srt = np.sort(d64)
+        gap = (srt[10] - srt[9]) / max(srt[9], 1e-12)
+        assert gap < 1e-5, (q, gap)

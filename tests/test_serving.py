@@ -49,7 +49,10 @@ def test_server_coalesces_and_matches(small_engine):
             return self.e.query(q, top_k=top_k)
 
     ce = Counting(eng)
-    with CoalescingServer(ce, wave_rows=32, max_wait_ms=200,
+    # max_wait far above any CI scheduling stall: the <=2-dispatch
+    # assertion must not depend on the submit loop outrunning the
+    # partial-wave timeout (ADVICE r3)
+    with CoalescingServer(ce, wave_rows=32, max_wait_ms=5000,
                           top_k=5) as srv:
         futs = [srv.submit(qs[i:i + 8]) for i in range(0, 48, 8)]
         outs = [f.result(timeout=30) for f in futs]
@@ -92,6 +95,30 @@ def test_server_never_splits_a_submitted_wave(small_engine):
     # 12-row waves into 16-row dispatches: each dispatch is exactly one
     # wave (12 + 12 > 16 would split otherwise)
     assert all(s == 12 for s in se.sizes)
+
+
+def test_server_survives_cancelled_future(small_engine):
+    """A cancelled PENDING future must not kill the dispatcher thread
+    (ADVICE r3: set_result on it raises InvalidStateError)."""
+    eng, qs = small_engine
+    with CoalescingServer(eng, wave_rows=4096, max_wait_ms=100,
+                          top_k=3) as srv:
+        f1 = srv.submit(qs[:4])
+        assert f1.cancel()           # still PENDING: cancel succeeds
+        f2 = srv.submit(qs[4:12])    # must still resolve
+        d, ids = f2.result(timeout=30)
+    dr, idr = eng.query(qs[4:12], top_k=3)
+    np.testing.assert_array_equal(ids, idr)
+
+
+def test_server_empty_submit_resolves_immediately(small_engine):
+    eng, qs = small_engine
+    with CoalescingServer(eng, wave_rows=8, top_k=3) as srv:
+        d, ids = srv.submit(qs[:0]).result(timeout=5)
+        assert d.shape == (0, 3) and ids.shape == (0, 3)
+        d2, ids2 = srv.submit(qs[:8]).result(timeout=30)
+    dr, idr = eng.query(qs[:8], top_k=3)
+    np.testing.assert_array_equal(ids2, idr)
 
 
 def test_server_blocking_query_and_close(small_engine):

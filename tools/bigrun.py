@@ -168,6 +168,37 @@ def main():
     report["recall_at_10"] = round(float(rec), 4)
     print(f"[bigrun] groundtruth {report['t_groundtruth_s']}s "
           f"recall@10={rec:.4f}", flush=True)
+    checkpoint()
+
+    # plain-codes cross-check at the SAME scale (VERDICT r3 #8): the
+    # compressed tier is lossless, so its recall must equal the plain
+    # PQ scan's on the identical workload (up to equal-distance ties)
+    import jax.numpy as jnp
+
+    from deltapq_tpu.ops.adc import adc_query_topk, adc_table, pad_codes
+    t0 = time.time()
+    tab = adc_table(cw, queries.astype(np.float32))
+    pc_chunk = 16 * 1024 * 1024
+    best_d = np.full((n_q, top_k), np.inf, np.float32)
+    best_i = np.full((n_q, top_k), -1, np.int64)
+    for lo in range(0, n_total, pc_chunk):
+        hi = min(lo + pc_chunk, n_total)
+        cp = jnp.asarray(pad_codes(codes[lo:hi], 16384))
+        d_c, i_c = adc_query_topk(tab, cp, jnp.int32(hi - lo), top_k)
+        d_all = np.concatenate([best_d, np.asarray(d_c)], axis=1)
+        i_all = np.concatenate([best_i,
+                                np.asarray(i_c).astype(np.int64) + lo],
+                               axis=1)
+        sel = np.argsort(d_all, axis=1, kind="stable")[:, :top_k]
+        best_d = np.take_along_axis(d_all, sel, axis=1)
+        best_i = np.take_along_axis(i_all, sel, axis=1)
+    rec_plain = recall_at_k(best_i, gt_i, k=top_k)
+    report["t_plain_scan_s"] = round(time.time() - t0, 1)
+    report["recall_plain_at_10"] = round(float(rec_plain), 4)
+    report["recall_delta_vs_plain"] = round(float(rec - rec_plain), 4)
+    print(f"[bigrun] plain-scan cross-check {report['t_plain_scan_s']}s"
+          f" recall@10={rec_plain:.4f} (delta "
+          f"{report['recall_delta_vs_plain']:+.4f})", flush=True)
 
     with open(os.path.join(ROOT, "BIGRUN.json"), "w") as f:
         json.dump(report, f, indent=1)
