@@ -232,6 +232,66 @@ class ChunkedCompressedEngine:
             nv = sum(st.n_valid for st, _ in self._host)
         return tot / max(nv, 1)
 
+    def save(self, path: str) -> None:
+        """Persist every chunk's stream tiles + id map as raw files
+        (``StreamTiles.save``), reopenable with ``from_saved`` —
+        including memory-mapped, for datasets beyond host RAM."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        items = (self.chunks if self.resident else self._host)
+        n = base = 0
+        for i, item in enumerate(items):
+            st = item.tiles if self.resident else item[0]
+            ids = (item.row_to_db if self.resident else item[1])
+            ids = (np.asarray(ids) if ids is not None
+                   else np.arange(base, base + st.n_valid,
+                                  dtype=np.int64))
+            base += st.n_valid
+            cdir = os.path.join(path, f"chunk_{i:04d}")
+            st.save(cdir)
+            ids.astype(np.int64).tofile(os.path.join(cdir, "ids.i64"))
+            n += 1
+        np.save(os.path.join(path, "codewords.npy"), self.codewords)
+        with open(os.path.join(path, "header.json"), "w") as f:
+            json.dump({"n_chunks": n, "precision": self.precision}, f)
+
+    @classmethod
+    def from_saved(cls, path: str, mmap: bool = True,
+                   resident: bool = False
+                   ) -> "ChunkedCompressedEngine":
+        """Reopen a saved chunked engine.  ``mmap=True`` +
+        ``resident=False`` is the beyond-host-RAM mode: tiles stay on
+        disk, each query batch streams them chunk-by-chunk through
+        the chip (the reference's per-query O_DIRECT refill,
+        ``deltapq_create_approx_tree.h:2816-2822``, as a page-cache
+        -backed upload instead of a 4KB read loop)."""
+        import json
+        import os
+
+        from .ops.fused import FusedCompressedEngine
+        from .ops.stream_tiles import StreamTiles
+
+        with open(os.path.join(path, "header.json")) as f:
+            h = json.load(f)
+        self = cls.__new__(cls)
+        self.codewords = np.load(os.path.join(path, "codewords.npy"))
+        self.precision = h["precision"]
+        self.resident = resident
+        self.chunks, self._host = [], []
+        for i in range(int(h["n_chunks"])):
+            cdir = os.path.join(path, f"chunk_{i:04d}")
+            st = StreamTiles.load(cdir, mmap=mmap)
+            ids = np.fromfile(os.path.join(cdir, "ids.i64"), np.int64)
+            if resident:
+                self.chunks.append(FusedCompressedEngine.from_tiles(
+                    self.codewords, st, row_to_db=ids,
+                    precision=self.precision))
+            else:
+                self._host.append((st, ids))
+        return self
+
     def query(self, queries: np.ndarray, top_k: int = 10
               ) -> Tuple[np.ndarray, np.ndarray]:
         from .ops.fused import FusedCompressedEngine

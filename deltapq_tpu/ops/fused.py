@@ -724,8 +724,12 @@ class DedupCompressedEngine:
             [np.zeros((B, 1), csum.dtype), csum[:, :-1]], axis=1)
         within = f[None, :] - np.take_along_axis(prev, jc, axis=1)
         u = np.take_along_axis(i_u, jc, axis=1)
-        ids = self.order[self.starts[np.clip(u, 0, None)]
-                         + np.clip(within, 0, None)]
+        # invalid slots (f beyond the expandable rows) carry clamped
+        # indices that can run past the arrays; bound the gather and
+        # let the ``valid`` mask blank them below
+        idx = (self.starts[np.clip(u, 0, None)]
+               + np.clip(within, 0, None))
+        ids = self.order[np.minimum(idx, len(self.order) - 1)]
         d = np.take_along_axis(d_u, jc, axis=1)
         return (np.where(valid, d, np.inf).astype(np.float32),
                 np.where(valid, ids, -1))

@@ -86,6 +86,51 @@ class StreamTiles:
     def bytes_per_vec(self) -> float:
         return self.nbytes() / max(self.n_valid, 1)
 
+    def save(self, path: str) -> None:
+        """Persist tiles as raw arrays + a small header so they can be
+        reopened with ``load`` (RAM) or ``load(mmap=True)`` (disk-
+        backed, the reference's O_DIRECT-stream analog for datasets
+        beyond host RAM, ``deltapq_create_approx_tree.h:2816-2822``)."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        self.row_data.tofile(os.path.join(path, "row_data.u8"))
+        self.vals.tofile(os.path.join(path, "vals.u8"))
+        self.meta.astype(np.int32).tofile(os.path.join(path,
+                                                       "meta.i32"))
+        with open(os.path.join(path, "header.json"), "w") as f:
+            json.dump({"row_data_shape": list(self.row_data.shape),
+                       "vals_shape": list(self.vals.shape),
+                       "meta_shape": list(self.meta.shape),
+                       "n_valid": self.n_valid, "M": self.M,
+                       "e_max": self.e_max}, f)
+
+    @classmethod
+    def load(cls, path: str, mmap: bool = False) -> "StreamTiles":
+        """Reopen saved tiles.  ``mmap=True`` maps ``row_data``/``vals``
+        from disk read-only: host RAM holds only pages the query path
+        touches, so an index larger than RAM still serves (upload to
+        device streams straight from the page cache)."""
+        import json
+        import os
+
+        with open(os.path.join(path, "header.json")) as f:
+            h = json.load(f)
+        opener = ((lambda p, sh: np.memmap(p, np.uint8, "r",
+                                           shape=tuple(sh)))
+                  if mmap else
+                  (lambda p, sh: np.fromfile(p, np.uint8)
+                   .reshape(sh)))
+        rd = opener(os.path.join(path, "row_data.u8"),
+                    h["row_data_shape"])
+        vals = opener(os.path.join(path, "vals.u8"), h["vals_shape"])
+        meta = np.fromfile(os.path.join(path, "meta.i32"), np.int32
+                           ).reshape(h["meta_shape"])
+        return cls(row_data=rd, vals=vals, meta=meta,
+                   n_valid=int(h["n_valid"]), M=int(h["M"]),
+                   e_max=int(h["e_max"]))
+
 
 def _mask_bits(c: np.ndarray) -> np.ndarray:
     """Sequential-diff bits [n_pad, M] with tile-first rows full."""
