@@ -794,6 +794,11 @@ def fused_stream_mins(q: jnp.ndarray, cwbd: jnp.ndarray,
             + MKs * cwbd.shape[1] * 2 + D * B * 2
             + nt * ns * B * 4 + nt * TILE * M,
             transcendentals=0),
+        # the M=16 (2-group) shape carries ~17 MB of operands+scratch,
+        # just past the default 16 MB scoped-vmem budget — raise it
+        # (v5e has 128 MB of VMEM; measured necessary for GIST shape)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=_interpret(),
     )(meta, q, u, cwbd, jnp.asarray(n_valid, jnp.int32).reshape(1, 1),
       row_data, _upper_tri_i8(), _norm_digits(cwbd), vals)
