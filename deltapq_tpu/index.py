@@ -100,6 +100,8 @@ class DeltaPQIndex:
         """
         from .ops import query_plain
 
+        if self.engine == "auto":
+            self.engine = self._resolve_auto()
         if self.engine in ("fused", "fused_codes", "fused_compressed",
                            "fused_dedup"):
             return self._search_fused(queries, top_k)
@@ -129,6 +131,27 @@ class DeltaPQIndex:
         # marked invalid explicitly instead of returning deleted ids
         i = np.where(np.isinf(d), -1, i)
         return d, i
+
+    def _resolve_auto(self, backend: str = None) -> str:
+        """Resolve engine="auto" once, at first search.
+
+        On TPU the product tier is the fused compressed engine; when
+        the code array is duplicate-heavy (>= 1.25x), the dedup tier
+        scans each distinct code once and expands rows at result time
+        (identical ADC distances by construction — round-4 bench:
+        141.5k vs 14.3k QPS at dup 36.9x).  On CPU the fused kernels
+        only run in interpret mode, so the plain XLA scan stays."""
+        import jax
+
+        backend = backend or jax.default_backend()
+        if backend not in ("tpu", "axon"):
+            return "xla"
+        if self.K > 256 or self.M > 16 or not len(self.codes):
+            return "pallas"  # plain one-hot MXU scan
+        codes = self._all_codes()
+        n_unique = len(np.unique(codes, axis=0))
+        dup = len(codes) / max(n_unique, 1)
+        return "fused_dedup" if dup >= 1.25 else "fused_compressed"
 
     def _search_fused(self, queries, top_k):
         """Fused-engine search path (round-2 tiers): the engine object

@@ -164,6 +164,25 @@ def test_chunked_engine_saved_mmap_query(tmp_path):
     np.testing.assert_array_equal(i2, i_ref)
 
 
+def test_index_auto_engine_resolution():
+    """engine="auto" resolves to the dedup product tier on TPU when
+    codes are duplicate-heavy, the dense compressed tier otherwise,
+    and the plain XLA scan off-TPU."""
+    from deltapq_tpu import DeltaPQIndex
+
+    rng = np.random.default_rng(8)
+    M, K = 4, 16
+    cw = rng.normal(size=(M, K, 8)).astype(np.float32)
+    distinct = rng.integers(0, K, size=(50, M)).astype(np.uint8)
+    dup_codes = distinct[rng.integers(0, 50, size=3000)]
+    idx = DeltaPQIndex(cw, dup_codes, build_tree=False)
+    assert idx._resolve_auto(backend="tpu") == "fused_dedup"
+    assert idx._resolve_auto(backend="cpu") == "xla"
+    uniq_codes = rng.integers(0, K, size=(3000, M)).astype(np.uint8)
+    idx2 = DeltaPQIndex(cw, uniq_codes, build_tree=False)
+    assert idx2._resolve_auto(backend="axon") == "fused_compressed"
+
+
 def test_warmup_compiles_query_path():
     from deltapq_tpu.ops.fused import FusedCompressedEngine
 
