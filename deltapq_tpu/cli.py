@@ -76,11 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-src_b", default=None, help="combine: second code file")
     p.add_argument("-engine", default="auto",
                    choices=["auto", "xla", "pallas", "decoded",
-                            "fused", "fused_codes", "fused_compressed"],
+                            "fused", "fused_codes", "fused_compressed",
+                            "fused_dedup"],
                    help="scan engine (see docs/ARCHITECTURE.md): "
-                        "fused* = round-2 subtile-min kernels "
+                        "fused* = subtile-min kernel tiers "
                         "(fused=decoded bf16 tier, fused_codes=u8 "
-                        "tier, fused_compressed=delta-tile tier)")
+                        "tier, fused_compressed=delta-tile tier, "
+                        "fused_dedup=distinct-code product tier)")
     p.add_argument("-force", type=int, default=0,
                    help="rebuild artifacts even if cached files exist "
                         "(reference semantics: every stage is cached and "
@@ -271,14 +273,17 @@ def task_query(args, metrics: Metrics):
             eng = DecodedEngine(cw, codes)
             d, i = eng.query(q, top_k=args.topk)
         elif args.engine in ("fused", "fused_codes",
-                             "fused_compressed"):
-            from .ops.fused import (FusedCodesEngine,
+                             "fused_compressed", "fused_dedup"):
+            from .ops.fused import (DedupCompressedEngine,
+                                    FusedCodesEngine,
                                     FusedCompressedEngine,
                                     FusedDecodedEngine)
             if args.engine == "fused":
                 eng = FusedDecodedEngine(cw, codes)
             elif args.engine == "fused_codes":
                 eng = FusedCodesEngine(cw, codes)
+            elif args.engine == "fused_dedup":
+                eng = DedupCompressedEngine(cw, np.asarray(codes))
             else:
                 order = np.lexsort(np.asarray(codes).T[::-1])
                 eng = FusedCompressedEngine(
