@@ -650,9 +650,19 @@ class DedupCompressedEngine:
     #: ladder amortizes better
     EXACT_ALL_MAX_ROWS = 65536
 
+    #: distinct-row count above which the inner engine is chunked
+    #: (one kernel call's SMEM tile-meta scales with rows/1024)
+    CHUNKED_MIN_ROWS = 32 * 1024 * 1024
+
     def __init__(self, codewords: np.ndarray, codes_db: np.ndarray,
-                 precision: str = "int8", fmt: str = "stream"):
+                 precision: str = "int8", fmt: str = "stream",
+                 chunked_min_rows: int = CHUNKED_MIN_ROWS):
         codes_db = np.asarray(codes_db)
+        cwf = np.asarray(codewords, np.float32)
+        self.codewords = jnp.asarray(cwf)
+        self.M, _, self.Ds = cwf.shape
+        self.D = self.M * self.Ds
+        self.d_pad = -(-self.D // 128) * 128
         order = np.lexsort(codes_db.T[::-1])
         sc = codes_db[order]
         new = np.ones(len(sc), bool)
@@ -662,8 +672,14 @@ class DedupCompressedEngine:
         self.counts = np.diff(np.append(self.starts, len(sc)))
         self.order = order
         self.n_rows = len(codes_db)
-        self.engine = FusedCompressedEngine(
-            codewords, sc[new], precision=precision, fmt=fmt)
+        if len(self.starts) > chunked_min_rows:
+            from ..bigscale import ChunkedCompressedEngine
+            self.engine = ChunkedCompressedEngine(
+                codewords, sc[new], precision=precision,
+                resident=True)
+        else:
+            self.engine = FusedCompressedEngine(
+                codewords, sc[new], precision=precision, fmt=fmt)
         if self.n_unique <= self.EXACT_ALL_MAX_ROWS:
             n_pad = -(-self.n_unique // 1024) * 1024
             cp = np.zeros((n_pad, codes_db.shape[1]), np.uint8)
@@ -678,7 +694,7 @@ class DedupCompressedEngine:
 
     def bytes_per_vec(self) -> float:
         """Device-resident bytes amortized over ALL rows."""
-        return (self.engine.bytes_per_vec() * self.engine.n_valid
+        return (self.engine.bytes_per_vec() * self.n_unique
                 / max(self.n_rows, 1))
 
     def query(self, queries: np.ndarray, top_k: int = 10
@@ -686,9 +702,9 @@ class DedupCompressedEngine:
         ku = min(top_k, self.n_unique)
         if self._codes_pad is not None:
             q, b = _pad_queries(np.asarray(queries, np.float32),
-                                self.engine.d_pad)
-            table = adc_table(self.engine.codewords,
-                              jnp.asarray(q[:, :self.engine.D]))
+                                self.d_pad)
+            table = adc_table(self.codewords,
+                              jnp.asarray(q[:, :self.D]))
             d_u, i_u = exact_all_topk(table, self._codes_pad,
                                       jnp.int32(self.n_unique), ku)
             d_u, i_u = np.asarray(d_u[:b]), np.asarray(i_u[:b])
@@ -699,8 +715,7 @@ class DedupCompressedEngine:
     def warmup(self, batch_sizes=(512,), top_k: int = 10) -> None:
         rng = np.random.default_rng(0)
         for b in batch_sizes:
-            q = rng.normal(size=(int(b), self.engine.D)).astype(
-                np.float32)
+            q = rng.normal(size=(int(b), self.D)).astype(np.float32)
             self.query(q, top_k=top_k)
 
     def expand(self, d_u: np.ndarray, i_u: np.ndarray, top_k: int

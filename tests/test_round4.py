@@ -116,6 +116,27 @@ def test_dedup_matches_plain_scan_small():
     np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)
 
 
+def test_dedup_chunked_inner_engine():
+    """Above the chunk threshold the dedup tier composes with the
+    chunked engine; results must still match the plain scan."""
+    from deltapq_tpu.ops.fused import DedupCompressedEngine
+    from deltapq_tpu.ops import query_plain
+
+    rng = np.random.default_rng(9)
+    M, K = 4, 16
+    cw = rng.normal(size=(M, K, 8)).astype(np.float32)
+    distinct = rng.integers(0, K, size=(2600, M)).astype(np.uint8)
+    codes = distinct[rng.integers(0, 2600, size=8000)]
+    ded = DedupCompressedEngine(cw, codes, precision="bf16",
+                                chunked_min_rows=1000)
+    from deltapq_tpu.bigscale import ChunkedCompressedEngine
+    assert isinstance(ded.engine, ChunkedCompressedEngine)
+    q = rng.normal(size=(4, M * 8)).astype(np.float32)
+    d, ids = ded.query(q, top_k=6)
+    d_ref, _ = query_plain(cw, q, codes, top_k=6, engine="xla")
+    np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)
+
+
 def test_stream_tiles_mmap_roundtrip(tmp_path):
     from deltapq_tpu.ops.stream_tiles import (build_stream_tiles,
                                               decode_stream_tiles)
