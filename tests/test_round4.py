@@ -185,6 +185,42 @@ def test_chunked_engine_saved_mmap_query(tmp_path):
     np.testing.assert_array_equal(i2, i_ref)
 
 
+def test_final_exact_terminal_scan_guarantees_results():
+    """fused_select_esc(final_exact=True) must return plain-scan
+    results even when every certificate fails (forced via an enormous
+    error radius) — the cond-gated terminal scan is the correctness
+    backstop."""
+    from deltapq_tpu.ops.adc import adc_table
+    from deltapq_tpu.ops.fused import fused_select_esc
+    from deltapq_tpu.ops import fused_pallas as fp
+    from deltapq_tpu.ops import query_plain
+
+    rng = np.random.default_rng(10)
+    M, K, Ds, n, B, k = 4, 16, 8, 2048, 8, 5
+    cw = rng.normal(size=(M, K, Ds)).astype(np.float32)
+    codes = rng.integers(0, K, size=(n, M)).astype(np.uint8)
+    q = rng.normal(size=(B, M * Ds)).astype(np.float32)
+    tab = adc_table(jnp.asarray(cw), jnp.asarray(q))
+    # mins from the true distances (subtile min over SUB rows), so the
+    # selection itself is sound — only the certificate is sabotaged
+    tabn = np.asarray(tab)
+    d_all = np.zeros((B, n), np.float32)
+    for m in range(M):
+        d_all += tabn[:, m, :][:, codes[:, m].astype(np.int64)]
+    q2 = np.sum(q * q, axis=1).astype(np.float32)
+    mins_bn = (d_all - q2[:, None]).reshape(
+        B, n // fp.SUB, fp.SUB).min(axis=2)              # [B, NU]
+    mins_nb = jnp.asarray(mins_bn.T.astype(np.float32))
+    huge = jnp.full((B,), 1e9, jnp.float32)  # certificate always fails
+    d, rows, ok, ok1 = fused_select_esc(
+        mins_nb, jnp.asarray(q2), tab, jnp.asarray(codes),
+        jnp.int32(n), k, (2,), 1, err_r=huge, final_exact=True)
+    assert not bool(jnp.any(ok))             # all forced to terminal
+    d_ref, _ = query_plain(cw, q, codes, top_k=k, engine="xla")
+    np.testing.assert_allclose(np.asarray(d), d_ref, rtol=1e-5,
+                               atol=1e-4)
+
+
 def test_index_auto_engine_resolution():
     """engine="auto" resolves to the dedup product tier on TPU when
     codes are duplicate-heavy, the dense compressed tier otherwise,
