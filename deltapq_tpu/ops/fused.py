@@ -600,25 +600,44 @@ class FusedCompressedEngine:
 def exact_all_topk(table, codes_pad, n_valid, top_k):
     """Exact f32 ADC top-k over a SMALL code array, gather-free.
 
-    dist[n, b] = sum_m T[b, m, codes[n, m]] computed as ONE MXU
+    dist[n, b] = sum_m T[b, m, codes[n, m]] computed as an MXU
     matmul: a query-independent one-hot [n_pad, M*K] (rebuilt per
     call, ~0.1 ms — storing it would cost K bytes/row) contracted
-    with the flattened tables [M*K, B] at f32 precision.  Measured
-    3.1 ms/batch at 28K rows / B=512 vs 11.8 ms for the
-    shortlist+certificate ladder — XLA's batched gathers price every
-    per-query-candidate formulation out (~0.17 us/descriptor), so
-    below ``EXACT_ALL_MAX_ROWS`` the dedup tier just reranks
-    EVERYTHING on the MXU."""
+    with the flattened tables [M*K, B].  Measured 3.1 ms/batch at 28K
+    rows / B=512 vs 11.8 ms for the shortlist+certificate ladder —
+    XLA's batched gathers price every per-query-candidate formulation
+    out (~0.17 us/descriptor), so below ``EXACT_ALL_MAX_ROWS`` the
+    dedup tier just reranks EVERYTHING on the MXU.
+
+    Precision: the one-hot operand is EXACT in bf16 (0/1), so instead
+    of a Precision.HIGHEST f32 dot (6 bf16 passes) the table is split
+    into 3 bf16 digits (h1 = bf16(t), h2 = bf16(t-h1), h3 = the
+    rest) and contracted in 3 bf16 passes with f32 accumulation —
+    every product is exact, the digit sum carries ~24 mantissa bits
+    (f32-faithful), and the matmul runs 1.94 vs 2.99 ms/batch
+    (round-4 A/B, tools/bench_exact_all.py)."""
     B, M, K = table.shape
     n_pad = codes_pad.shape[0]
     tf = table.reshape(B, M * K)
     iota = jax.lax.broadcasted_iota(jnp.int32, (n_pad, K), 1)
     oh = jnp.concatenate(
         [(codes_pad[:, m:m + 1].astype(jnp.int32) == iota
-          ).astype(jnp.float32) for m in range(M)], axis=1)
-    dall = jax.lax.dot_general(
-        oh, tf.T, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST)         # [n_pad, B]
+          ).astype(jnp.bfloat16) for m in range(M)], axis=1)
+    tft = tf.T                                        # [M*K, B] f32
+    # the digit split MUST use lax.reduce_precision, not bf16 casts:
+    # the terminal sets --xla_allow_excess_precision=true, under which
+    # XLA folds ``t - f32(bf16(t))`` to zero and the digits collapse
+    # to one bf16 pass (measured: results quantized to bf16 grid)
+    h1 = jax.lax.reduce_precision(tft, 8, 7)
+    r1 = tft - h1
+    h2 = jax.lax.reduce_precision(r1, 8, 7)
+    h3 = jax.lax.reduce_precision(r1 - h2, 8, 7)
+    dall = (jnp.dot(oh, h1.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(oh, h2.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+            + jnp.dot(oh, h3.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32))
     dall = jnp.where(
         jnp.arange(n_pad)[:, None] < n_valid, dall, jnp.inf)
     negd, ids = jax.lax.top_k(-dall.T, top_k)
