@@ -1044,10 +1044,12 @@ def select_rerank(mins: jnp.ndarray, q2: jnp.ndarray, table: jnp.ndarray,
     # exact f32 table values via one-hot einsum (selection of a single
     # value per row is exact).  Alternatives measured SLOWER on this
     # backend: int8 bit-plane matmul (0.42 vs 0.24 ms at S=256, and
-    # not bit-faithful), and jnp.take_along_axis (184 ms vs 12 ms at
-    # S=4096 — XLA TPU serializes the batched gather).  The einsum
-    # cost is ~linear in S (~0.24 ms at S=256, B=512), which is what
-    # prices the escalation rungs.
+    # not bit-faithful); jnp.take_along_axis (184 ms vs 12 ms at
+    # S=4096 — XLA TPU serializes the batched gather); and the 3-digit
+    # bf16 table split that wins in ``exact_all_topk`` (77.7 vs
+    # 35.7 ms/batch dense-tier here: in this BATCHED einsum the
+    # per-query one-hot construction dominates and XLA rebuilds it
+    # per digit pass, tripling the dominant term).
     exact = jnp.zeros((B, S), jnp.float32)
     for m in range(M):
         onehot = (cw[:, :, m:m + 1] == iota_k).astype(jnp.float32)
