@@ -45,6 +45,8 @@ class DeltaPQIndex:
         self.tree = None
         self._stream = None
         self._cached_codes = None  # device/scan cache, built lazily
+        self._fused_engine = None
+        self._engine_resolved = None  # "auto" resolution, per process
         if build_tree and self.K <= 256 and self.M <= 16 and len(codes):
             self._build_tree()
 
@@ -100,11 +102,20 @@ class DeltaPQIndex:
         """
         from .ops import query_plain
 
-        if self.engine == "auto":
-            self.engine = self._resolve_auto()
-        if self.engine in ("fused", "fused_codes", "fused_compressed",
-                           "fused_dedup"):
-            return self._search_fused(queries, top_k)
+        engine = self.engine
+        if engine == "auto":
+            # resolve into a SEPARATE field: self.engine stays the
+            # literal "auto" (and save() persists it), so a saved
+            # index re-resolves on the host that loads it — pinning
+            # the resolved value froze a TPU-only engine into indexes
+            # later loaded on CPU (ADVICE r4).  Invalidated together
+            # with _fused_engine on add/compact.
+            if getattr(self, "_engine_resolved", None) is None:
+                self._engine_resolved = self._resolve_auto()
+            engine = self._engine_resolved
+        if engine in ("fused", "fused_codes", "fused_compressed",
+                      "fused_dedup"):
+            return self._search_fused(queries, top_k, engine)
         q = np.asarray(queries, np.float32)
         fetch = top_k + int(self.deleted.sum())
         fetch = min(1 << (max(fetch, 1) - 1).bit_length(), self.n)
@@ -112,7 +123,7 @@ class DeltaPQIndex:
         if self._cached_codes is None:
             self._cached_codes = self._all_codes()
         d, i = query_plain(self.codewords, q, self._cached_codes,
-                           top_k=fetch, engine=self.engine)
+                           top_k=fetch, engine=engine)
         if self.deleted.any():
             dele = np.flatnonzero(self.deleted)
             bad = np.isin(i, dele)
@@ -153,26 +164,27 @@ class DeltaPQIndex:
         dup = len(codes) / max(n_unique, 1)
         return "fused_dedup" if dup >= 1.25 else "fused_compressed"
 
-    def _search_fused(self, queries, top_k):
+    def _search_fused(self, queries, top_k, engine=None):
         """Fused-engine search path (round-2 tiers): the engine object
         is cached and rebuilt lazily after add/remove/compact."""
+        engine = engine or self.engine
         if getattr(self, "_fused_engine", None) is None:
             from .ops.fused import (FusedCodesEngine,
                                     FusedCompressedEngine,
                                     FusedDecodedEngine)
 
             codes = self._all_codes()
-            if self.engine != "fused" and self.K > 256:
+            if engine != "fused" and self.K > 256:
                 # u16 tiers are decoded-only; quietly upgrade
                 self._fused_engine = FusedDecodedEngine(
                     self.codewords, codes)
-            elif self.engine == "fused":
+            elif engine == "fused":
                 self._fused_engine = FusedDecodedEngine(
                     self.codewords, codes)
-            elif self.engine == "fused_codes":
+            elif engine == "fused_codes":
                 self._fused_engine = FusedCodesEngine(
                     self.codewords, codes)
-            elif self.engine == "fused_dedup":
+            elif engine == "fused_dedup":
                 from .ops.fused import DedupCompressedEngine
                 self._fused_engine = DedupCompressedEngine(
                     self.codewords, np.asarray(codes))
@@ -219,6 +231,7 @@ class DeltaPQIndex:
         self.tail = np.concatenate([self.tail, new_codes])
         self._cached_codes = None
         self._fused_engine = None
+        self._engine_resolved = None  # dup factor may have changed
         if len(self.tail) > self.rebuild_fraction * max(len(self.codes), 1):
             self.compact()
         return ids
@@ -245,6 +258,7 @@ class DeltaPQIndex:
         self.deleted = np.zeros(0, bool)
         self._fused_engine = None
         self._cached_codes = None
+        self._engine_resolved = None  # dup factor may have changed
         if self.K <= 256 and self.M <= 16 and len(self.codes):
             self._build_tree()
 

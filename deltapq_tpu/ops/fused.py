@@ -54,19 +54,29 @@ def _pad_queries(queries: np.ndarray, d_pad: int, b_mult: int = 128
 def _pool_for(ns_total: int) -> int:
     """Min-pool factor for the selection epilogue: coarsen the
     candidate unit so the [B, NS/pool] top_k + relayout stay small.
-    On-chip sweep at 1M/B=512 (stream tier): pool 1/2/4/8 = 6.91 /
-    6.92 / 6.58 / 7.16 ms — 4 balances the top_k+transpose saving
-    against the larger rerank unit, so 4 is the mid-range default;
-    tiny databases keep exact unit granularity and huge ones coarsen
-    8x.  The fence bound stays valid at any pool (a pooled min
-    lower-bounds all its rows); a coarser fence only costs escalation
-    frequency, never exactness."""
+
+    Round-5 recalibration (tools/bench_epilogue_grid.py, 1M rows,
+    B=512, int16 stream tier, dup~1.06 workload): FINER units beat
+    coarser ones decisively once the certificate is tight — the top-k
+    rows concentrate in few 32-row subtiles, so 32 units of 32 rows
+    cover them where 8 units of 128 rows miss (pool=1 rungs
+    (1024, 8192) = 13.9 ms vs pool=4 best 17.7 ms; first-shot 1.000
+    vs 0.869 at equal rerank rows).  Pool still must grow with N: the
+    pooled [B, NS/pool] relayout is the epilogue's largest memory
+    move (a 16M-row chunk at pool=1 would transpose 1 GB/batch).  The
+    fence bound stays valid at any pool (a pooled min lower-bounds
+    all its rows); a coarser fence only costs escalation frequency,
+    never exactness."""
     import os
     if os.environ.get("DELTAPQ_POOL"):       # epilogue experiments
         return int(os.environ["DELTAPQ_POOL"])
-    if ns_total <= 4096:
+    if ns_total <= 32768:        # <= 1M rows
         return 1
-    return 8 if ns_total > 131072 else 4
+    if ns_total <= 131072:       # <= 4M rows
+        return 2
+    if ns_total <= 1048576:      # <= 32M rows (chunk-sized)
+        return 4
+    return 8
 
 
 def _default_n_sub(top_k: int, n_units: int, unit: int) -> int:
@@ -247,6 +257,42 @@ def _int8_codeword_radius(codewords: np.ndarray, mu: np.ndarray,
     return float(np.sqrt(per_mk.max(axis=1).sum()))
 
 
+def _int16_codeword_radius(codewords: np.ndarray, mu: np.ndarray,
+                           scale: float) -> float:
+    """int16 analog of ``_int8_codeword_radius``: the quantization
+    step is scale/128 (dual-digit A = round(c*128/scale), matching
+    ``fp.quantize_blockdiag_int16`` exactly incl. the clip), so the
+    radius shrinks ~128x — the certificate becomes tight enough that
+    its pass rate equals genuine candidate coverage."""
+    cw = np.asarray(codewords, np.float32)
+    M, K, Ds = cw.shape
+    cwc = cw - mu[:M * Ds].reshape(M, 1, Ds)
+    A = np.clip(np.rint(cwc * (128.0 / scale)), -16256, 16256)
+    err = cwc - (scale / 128.0) * A
+    per_mk = np.sum(err * err, axis=2)             # [M, K]
+    return float(np.sqrt(per_mk.max(axis=1).sum()))
+
+
+def _setup_precision(self, codewords: np.ndarray, precision: str):
+    """Shared engine codebook-operand setup per precision tier."""
+    if precision == "int8":
+        cwq, self.scale = fp.quantize_blockdiag_int8(
+            codewords, center=self.mu[:self.D])
+        self.cwbd = jnp.asarray(cwq)
+        self.err_c = _int8_codeword_radius(codewords, self.mu,
+                                           self.scale)
+    elif precision == "int16":
+        cwq, self.scale = fp.quantize_blockdiag_int16(
+            codewords, center=self.mu[:self.D])
+        self.cwbd = jnp.asarray(cwq)
+        self.err_c = _int16_codeword_radius(codewords, self.mu,
+                                            self.scale)
+    else:
+        self.scale = None
+        self.cwbd = jnp.asarray(fp.build_blockdiag_codebook(
+            codewords, center=self.mu[:self.D]))
+
+
 def _mins_query_args(qc: np.ndarray, precision: str, scale):
     """Centered grouped-layout queries [B, G*Dg_pad] -> (kernel q
     operand [G*Dg_pad, B] bf16/int8, invalid mask or None, headroom
@@ -260,7 +306,11 @@ def _mins_query_args(qc: np.ndarray, precision: str, scale):
     query-side rounding radius ``e_q[b] = ||qc_b - scale u_b qq_b||``
     — with the engine's precomputed codeword radius this gives a
     certificate allowance ~2-3x tighter than the worst-case
-    scale*sqrt(D) bound (more first-shot passes, fewer escalations)."""
+    scale*sqrt(D) bound (more first-shot passes, fewer escalations).
+
+    int16: dual base-128 digits at step ``scale*u/128`` ([B, 2*GD]
+    stacked a|b planes, kernel layout [2*GD, B]); e_q shrinks ~128x
+    accordingly."""
     if precision == "int8":
         amax = np.abs(qc).max(axis=1)
         u = np.maximum(1.0, amax / (127.0 * scale)).astype(np.float32)
@@ -271,7 +321,47 @@ def _mins_query_args(qc: np.ndarray, precision: str, scale):
             axis=1).astype(np.float32)
         return (jnp.asarray(qq.T), None,
                 jnp.asarray(u.reshape(1, -1)), jnp.asarray(e_q))
+    if precision == "int16":
+        amax = np.abs(qc).max(axis=1)
+        u = np.maximum(1.0, amax / (127.0 * scale)).astype(np.float32)
+        Aq = np.clip(np.rint(qc * (128.0 / (scale * u[:, None]))),
+                     -16256, 16256)
+        qa = np.clip(np.rint(Aq / 128.0), -127, 127)
+        qb = Aq - 128.0 * qa                              # in [-64, 64]
+        e_q = np.linalg.norm(
+            qc - (scale * u[:, None] / 128.0) * Aq,
+            axis=1).astype(np.float32)
+        qop = np.concatenate([qa, qb], axis=1).astype(np.int8)
+        return (jnp.asarray(qop.T), None,
+                jnp.asarray(u.reshape(1, -1)), jnp.asarray(e_q))
     return jnp.asarray(qc.astype(jnp.bfloat16).T), None, None, None
+
+
+def _quantized_query_stats(self, qop, uq, eq):
+    """(q2, err_r, scale2) for the int8/int16 certificate domains.
+
+    Certificate geometry lives in the quantized domain: fence + q2
+    must equal ||x_qs - q_qs||^2 exactly, so q2 is the QUANTIZED query
+    norm; the true-vs-quantized gap is the per-query radius err_r =
+    ||e_q||_exact + max-codeword radius (both exact norms).  For int16
+    the radius is ~128x smaller, plus a 1e-4 allowance covering the
+    kernel's f32 digit-combination rounding (rel ~6e-8 of the 16384x
+    term)."""
+    div = 128.0 if self.precision == "int16" else 1.0
+    s_eff = self.scale / div
+    scale2 = jnp.float32(s_eff * s_eff)
+    uqv = uq[0]
+    if self.precision == "int16":
+        GD = qop.shape[0] // 2
+        Aq = (128.0 * qop[:GD].astype(jnp.float32)
+              + qop[GD:].astype(jnp.float32))
+        q2 = scale2 * uqv * uqv * jnp.sum(Aq * Aq, axis=0)
+        err_r = eq + jnp.float32(self.err_c) + jnp.float32(1e-4)
+    else:
+        q2 = (scale2 * uqv * uqv
+              * jnp.sum(qop.astype(jnp.float32) ** 2, axis=0))
+        err_r = eq + jnp.float32(self.err_c)
+    return q2, err_r, scale2
 
 
 class FusedCodesEngine:
@@ -309,16 +399,7 @@ class FusedCodesEngine:
         self.mu = np.zeros(self.d_pad, np.float32)
         self.mu[:self.D] = fp.codebook_center(codewords)
         self.precision = precision
-        if precision == "int8":
-            cwq, self.scale = fp.quantize_blockdiag_int8(
-                codewords, center=self.mu[:self.D])
-            self.cwbd = jnp.asarray(cwq)
-            self.err_c = _int8_codeword_radius(codewords, self.mu,
-                                               self.scale)
-        else:
-            self.scale = None
-            self.cwbd = jnp.asarray(fp.build_blockdiag_codebook(
-                codewords, center=self.mu[:self.D]))
+        _setup_precision(self, codewords, precision)
 
     def query(self, queries: np.ndarray, top_k: int = 10,
               n_sub: Optional[int] = None
@@ -334,19 +415,10 @@ class FusedCodesEngine:
                                                 self.scale)
         mins, codes_echo = fp.fused_codes_mins(
             qop, self.cwbd, self.codes, jnp.int32(self.n_valid),
-            u=uq)
-        if self.precision == "int8":
-            scale2 = jnp.float32(self.scale * self.scale)
-            # certificate geometry lives in the quantized domain:
-            # fence + q2 must equal ||x_qs - q_qs||^2 exactly (with
-            # q_qs = scale*u*qq), so q2 here is the QUANTIZED query
-            # norm; the true-vs-quantized gap is the per-query radius
-            # err_r = ||e_q||_exact + max-codeword radius (both exact
-            # norms, ~2-3x tighter than the scale*sqrt(D) worst case)
-            uqv = uq[0]
-            q2 = (jnp.float32(self.scale * self.scale) * uqv * uqv
-                  * jnp.sum(qop.astype(jnp.float32) ** 2, axis=0))
-            err_r = eq + jnp.float32(self.err_c)
+            u=uq, int16=self.precision == "int16")
+        if self.precision in ("int8", "int16"):
+            q2, err_r, scale2 = _quantized_query_stats(self, qop, uq,
+                                                       eq)
         else:
             err_r = None
             scale2 = None
@@ -405,16 +477,7 @@ class FusedCompressedEngine:
         self.mu = np.zeros(self.d_pad, np.float32)
         self.mu[:self.D] = fp.codebook_center(codewords)
         self.precision = precision
-        if precision == "int8":
-            cwq, self.scale = fp.quantize_blockdiag_int8(
-                codewords, center=self.mu[:self.D])
-            self.cwbd = jnp.asarray(cwq)
-            self.err_c = _int8_codeword_radius(codewords, self.mu,
-                                               self.scale)
-        else:
-            self.scale = None
-            self.cwbd = jnp.asarray(fp.build_blockdiag_codebook(
-                codewords, center=self.mu[:self.D]))
+        _setup_precision(self, codewords, precision)
         self.row_to_db = (jnp.asarray(
             np.asarray(row_to_db).astype(np.int32))
             if row_to_db is not None else None)
@@ -456,16 +519,7 @@ class FusedCompressedEngine:
         self.mu = np.zeros(self.d_pad, np.float32)
         self.mu[:self.D] = fp.codebook_center(codewords)
         self.precision = precision
-        if precision == "int8":
-            cwq, self.scale = fp.quantize_blockdiag_int8(
-                codewords, center=self.mu[:self.D])
-            self.cwbd = jnp.asarray(cwq)
-            self.err_c = _int8_codeword_radius(codewords, self.mu,
-                                               self.scale)
-        else:
-            self.scale = None
-            self.cwbd = jnp.asarray(fp.build_blockdiag_codebook(
-                codewords, center=self.mu[:self.D]))
+        _setup_precision(self, codewords, precision)
         self.row_to_db = (jnp.asarray(
             np.asarray(row_to_db).astype(np.int32))
             if row_to_db is not None else None)
@@ -509,23 +563,15 @@ class FusedCompressedEngine:
             mins, codes_echo = fp.fused_stream_mins(
                 qop, self.cwbd, self.row_data, self.vals, self.meta,
                 jnp.int32(self.n_valid), self.tiles.e_max, self.M,
-                u=uq)
+                u=uq, int16=self.precision == "int16")
         else:
             mins, codes_echo = fp.fused_delta_mins(
                 qop, self.cwbd, self.row_data, self.ovf,
-                jnp.int32(self.n_valid), self.tiles.S, u=uq)
-        if self.precision == "int8":
-            scale2 = jnp.float32(self.scale * self.scale)
-            # certificate geometry lives in the quantized domain:
-            # fence + q2 must equal ||x_qs - q_qs||^2 exactly (with
-            # q_qs = scale*u*qq), so q2 here is the QUANTIZED query
-            # norm; the true-vs-quantized gap is the per-query radius
-            # err_r = ||e_q||_exact + max-codeword radius (both exact
-            # norms, ~2-3x tighter than the scale*sqrt(D) worst case)
-            uqv = uq[0]
-            q2 = (jnp.float32(self.scale * self.scale) * uqv * uqv
-                  * jnp.sum(qop.astype(jnp.float32) ** 2, axis=0))
-            err_r = eq + jnp.float32(self.err_c)
+                jnp.int32(self.n_valid), self.tiles.S, u=uq,
+                int16=self.precision == "int16")
+        if self.precision in ("int8", "int16"):
+            q2, err_r, scale2 = _quantized_query_stats(self, qop, uq,
+                                                       eq)
         else:
             err_r = None
             scale2 = None
@@ -691,14 +737,10 @@ class DedupCompressedEngine:
         self.counts = np.diff(np.append(self.starts, len(sc)))
         self.order = order
         self.n_rows = len(codes_db)
-        if len(self.starts) > chunked_min_rows:
-            from ..bigscale import ChunkedCompressedEngine
-            self.engine = ChunkedCompressedEngine(
-                codewords, sc[new], precision=precision,
-                resident=True)
-        else:
-            self.engine = FusedCompressedEngine(
-                codewords, sc[new], precision=precision, fmt=fmt)
+        self._unique_codes = sc[new]
+        self._precision, self._fmt = precision, fmt
+        self._chunked_min_rows = chunked_min_rows
+        self._engine = None
         if self.n_unique <= self.EXACT_ALL_MAX_ROWS:
             n_pad = -(-self.n_unique // 1024) * 1024
             cp = np.zeros((n_pad, codes_db.shape[1]), np.uint8)
@@ -706,6 +748,27 @@ class DedupCompressedEngine:
             self._codes_pad = jnp.asarray(cp)
         else:
             self._codes_pad = None
+            self.engine  # build eagerly: every query path needs it
+
+    @property
+    def engine(self):
+        """Inner stream engine over the distinct codes, built LAZILY:
+        below ``EXACT_ALL_MAX_ROWS`` distinct rows the query path is
+        ``exact_all_topk`` and never touches it (eager construction
+        wasted the tile pack + device upload in the common
+        small-distinct regime — ADVICE r4)."""
+        if self._engine is None:
+            cw = np.asarray(self.codewords)
+            if self.n_unique > self._chunked_min_rows:
+                from ..bigscale import ChunkedCompressedEngine
+                self._engine = ChunkedCompressedEngine(
+                    cw, self._unique_codes, precision=self._precision,
+                    resident=True)
+            else:
+                self._engine = FusedCompressedEngine(
+                    cw, self._unique_codes, precision=self._precision,
+                    fmt=self._fmt)
+        return self._engine
 
     @property
     def n_unique(self) -> int:

@@ -109,15 +109,19 @@ class CoalescingServer:
         if queries.ndim == 1:
             queries = queries[None, :]
         fut: Future = Future()
-        if len(queries) == 0:
-            # resolve empty waves immediately: queueing one would waste
-            # a dispatch and 0-row kernel shapes are engine-dependent
-            fut.set_result((np.zeros((0, self.top_k), np.float32),
-                            np.zeros((0, self.top_k), np.int64)))
-            return fut
         with self._lock:
             if self._closed:
+                # closed-server submits raise for EVERY wave shape —
+                # including 0-row waves (the empty-wave shortcut below
+                # must not mask a closed server)
                 raise RuntimeError("server closed")
+            if len(queries) == 0:
+                # resolve empty waves immediately: queueing one would
+                # waste a dispatch and 0-row kernel shapes are
+                # engine-dependent
+                fut.set_result((np.zeros((0, self.top_k), np.float32),
+                                np.zeros((0, self.top_k), np.int64)))
+                return fut
             self._queue.append((queries, fut))
             self._rows += len(queries)
             self._lock.notify()

@@ -230,6 +230,45 @@ def test_fused_int8_precision_modes(pq_setup):
     np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)
 
 
+def test_fused_int16_precision_modes(pq_setup):
+    """int16 (dual-int8-digit) tiers: the 128x finer quantization step
+    must produce exact distances AND a certificate radius ~128x
+    tighter than int8's (the round-5 fix for certificate collapse on
+    distinct-code workloads)."""
+    from deltapq_tpu.ops.fused import (_int16_codeword_radius,
+                                       _int8_codeword_radius)
+
+    cw, codes, queries, d_ref, i_ref = pq_setup
+    eng = FusedCodesEngine(cw, codes, precision="int16")
+    d, i = eng.query(queries, top_k=10)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)
+    order = np.lexsort(np.asarray(codes).T[::-1])
+    eng = FusedCompressedEngine(cw, np.asarray(codes)[order],
+                                row_to_db=order, precision="int16")
+    d, i = eng.query(queries, top_k=10)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-4)
+    r8 = _int8_codeword_radius(np.asarray(cw), eng.mu, eng.scale)
+    r16 = _int16_codeword_radius(np.asarray(cw), eng.mu, eng.scale)
+    assert r16 < r8 / 64  # ~128x tighter in practice
+
+
+def test_int16_digit_quantizer_exact():
+    """Digit split/reconstruct roundtrip: values land within
+    scale/256 of the original (the step is scale/128, rounding to
+    nearest), and digits respect int8 bounds."""
+    from deltapq_tpu.ops import fused_pallas as fp
+
+    rng = np.random.default_rng(0)
+    cw = rng.normal(size=(4, 32, 8)).astype(np.float32)
+    q16, scale = fp.quantize_blockdiag_int16(cw)
+    Dg = q16.shape[1] // 2
+    a, b = q16[:, :Dg].astype(np.int32), q16[:, Dg:].astype(np.int32)
+    assert np.abs(a).max() <= 127 and np.abs(b).max() <= 64
+    rec = fp.int16_digits_to_values(q16, scale)
+    bd = fp.build_blockdiag_codebook(cw, dtype=np.float32)
+    assert np.abs(rec - bd).max() <= scale / 256.0 + 1e-6
+
+
 @pytest.mark.parametrize("precision", ["bf16", "int8"])
 def test_dedup_engine_exact(small_dataset, precision):
     """Dedup tier == plain scan distances on heavily duplicated codes
