@@ -246,13 +246,16 @@ def bench_workload(name, B, top_k, N, M, K):
     # Identical PQ codes have identical ADC distances, so the dedup
     # engine scans each DISTINCT code once and expands row ids at
     # result time — exactness-preserving.  The auto engine picks it
-    # only when dup >= 1.25 (clustered data); below that the dense
-    # scan above IS the product number.
+    # only in the exact-all regime (distinct count <= 65536, every
+    # distinct code reranked in one f32 matmul — 271k QPS measured);
+    # above that the dense scan over ALL rows is faster than the
+    # dedup stream scan over the distinct rows (round-5 crossover,
+    # see DeltaPQIndex._resolve_auto).
     from deltapq_tpu.ops.fused import (DedupCompressedEngine,
                                        exact_all_topk)
     nu = len(np.unique(codes, axis=0))
     dup = N / nu
-    use_dedup = dup >= 1.25
+    use_dedup = nu <= DedupCompressedEngine.EXACT_ALL_MAX_ROWS
     qps_ded = cert_ded = None
     if use_dedup:
         ded = DedupCompressedEngine(cw, codes, precision="int16")

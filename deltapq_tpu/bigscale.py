@@ -196,7 +196,8 @@ class ChunkedCompressedEngine:
     def __init__(self, codewords: np.ndarray, codes_scan: np.ndarray,
                  row_to_db: Optional[np.ndarray] = None,
                  precision: str = "int8", chunk_rows: int = CHUNK_ROWS,
-                 resident: bool = True):
+                 resident: bool = True, mesh=None,
+                 shard_axis: str = "shard"):
         from .ops.fused import FusedCompressedEngine
 
         n = len(codes_scan)
@@ -209,7 +210,16 @@ class ChunkedCompressedEngine:
             ids = (np.asarray(row_to_db)[lo:hi]
                    if row_to_db is not None
                    else np.arange(lo, hi, dtype=np.int64))
-            if resident:
+            if mesh is not None:
+                # multi-chip form: each chunk's tiles shard over the
+                # mesh (chunks stream sequentially as ever; every
+                # chunk scan is a sharded all-gather-merged query)
+                from .parallel.fused_sharded import \
+                    ShardedCompressedEngine
+                self.chunks.append(ShardedCompressedEngine(
+                    np.asarray(codewords), codes_scan[lo:hi], mesh,
+                    row_to_db=ids, axis=shard_axis))
+            elif resident:
                 self.chunks.append(FusedCompressedEngine(
                     codewords, codes_scan[lo:hi], row_to_db=ids,
                     precision=precision))
@@ -220,10 +230,12 @@ class ChunkedCompressedEngine:
                     codes_scan[lo:hi]), ids))
         self.codewords = np.asarray(codewords, np.float32)
         self.precision = precision
+        if mesh is not None:
+            self.resident = True  # sharded chunks live on the mesh
 
     def bytes_per_vec(self) -> float:
         if self.resident:
-            tot = sum(e.tiles.row_data.nbytes + e.tiles.vals.nbytes
+            tot = sum(e.bytes_per_vec() * e.n_valid
                       for e in self.chunks)
             nv = sum(e.n_valid for e in self.chunks)
         else:

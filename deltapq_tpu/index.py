@@ -146,13 +146,19 @@ class DeltaPQIndex:
     def _resolve_auto(self, backend: str = None) -> str:
         """Resolve engine="auto" once, at first search.
 
-        On TPU the product tier is the fused compressed engine; when
-        the code array is duplicate-heavy (>= 1.25x), the dedup tier
-        scans each distinct code once and expands rows at result time
-        (identical ADC distances by construction — round-4 bench:
-        141.5k vs 14.3k QPS at dup 36.9x).  On CPU the fused kernels
-        only run in interpret mode, so the plain XLA scan stays."""
+        On TPU the product tier is the fused compressed engine; the
+        dedup tier wins only when the DISTINCT-code count fits the
+        exact-all regime (every distinct code reranked in one f32
+        matmul): round-5 bench at 1M rows — 271k QPS at 28K distinct
+        vs the dense tier's 43-45k, but at 514K distinct (dup 2x) the
+        dedup tier's own stream scan measures SLOWER than the dense
+        scan over all rows (38.8k vs 45.3k; the int16 dense path
+        closed the gap the r4 dup>=1.25 rule was calibrated against).
+        On CPU the fused kernels only run in interpret mode, so the
+        plain XLA scan stays."""
         import jax
+
+        from .ops.fused import DedupCompressedEngine
 
         backend = backend or jax.default_backend()
         if backend not in ("tpu", "axon"):
@@ -161,8 +167,9 @@ class DeltaPQIndex:
             return "pallas"  # plain one-hot MXU scan
         codes = self._all_codes()
         n_unique = len(np.unique(codes, axis=0))
-        dup = len(codes) / max(n_unique, 1)
-        return "fused_dedup" if dup >= 1.25 else "fused_compressed"
+        if n_unique <= DedupCompressedEngine.EXACT_ALL_MAX_ROWS:
+            return "fused_dedup"
+        return "fused_compressed"
 
     def _search_fused(self, queries, top_k, engine=None):
         """Fused-engine search path (round-2 tiers): the engine object

@@ -721,7 +721,8 @@ class DedupCompressedEngine:
 
     def __init__(self, codewords: np.ndarray, codes_db: np.ndarray,
                  precision: str = "int8", fmt: str = "stream",
-                 chunked_min_rows: int = CHUNKED_MIN_ROWS):
+                 chunked_min_rows: int = CHUNKED_MIN_ROWS,
+                 mesh=None, shard_axis: str = "shard"):
         codes_db = np.asarray(codes_db)
         cwf = np.asarray(codewords, np.float32)
         self.codewords = jnp.asarray(cwf)
@@ -740,8 +741,9 @@ class DedupCompressedEngine:
         self._unique_codes = sc[new]
         self._precision, self._fmt = precision, fmt
         self._chunked_min_rows = chunked_min_rows
+        self._mesh, self._shard_axis = mesh, shard_axis
         self._engine = None
-        if self.n_unique <= self.EXACT_ALL_MAX_ROWS:
+        if mesh is None and self.n_unique <= self.EXACT_ALL_MAX_ROWS:
             n_pad = -(-self.n_unique // 1024) * 1024
             cp = np.zeros((n_pad, codes_db.shape[1]), np.uint8)
             cp[:self.n_unique] = sc[new]
@@ -756,10 +758,19 @@ class DedupCompressedEngine:
         below ``EXACT_ALL_MAX_ROWS`` distinct rows the query path is
         ``exact_all_topk`` and never touches it (eager construction
         wasted the tile pack + device upload in the common
-        small-distinct regime — ADVICE r4)."""
+        small-distinct regime — ADVICE r4).  With a ``mesh``, the
+        distinct-code scan shards over the devices
+        (``ShardedCompressedEngine``) and only the row expansion stays
+        on the host — the dedup tier's multi-chip form."""
         if self._engine is None:
             cw = np.asarray(self.codewords)
-            if self.n_unique > self._chunked_min_rows:
+            if self._mesh is not None:
+                from ..parallel.fused_sharded import \
+                    ShardedCompressedEngine
+                self._engine = ShardedCompressedEngine(
+                    cw, self._unique_codes, self._mesh,
+                    axis=self._shard_axis)
+            elif self.n_unique > self._chunked_min_rows:
                 from ..bigscale import ChunkedCompressedEngine
                 self._engine = ChunkedCompressedEngine(
                     cw, self._unique_codes, precision=self._precision,

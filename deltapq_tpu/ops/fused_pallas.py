@@ -1004,6 +1004,101 @@ def fused_delta_mins(q: jnp.ndarray, cwbd: jnp.ndarray,
 # Shared epilogue: subtile select + exact rerank
 # --------------------------------------------------------------------------
 
+_RERANK_BQ = 8   # queries per rerank grid step
+
+
+def _rerank_kernel(tabT_ref, codes_ref, out_ref, *, st: int, M: int,
+                   K: int, bq: int):
+    """Exact per-candidate ADC table sums: one (bq queries x st rows)
+    strip per step.  codes [bq, st, M] u8; tab [bq, M*K] f32; out
+    [bq, st, 1] f32 = sum_m T[q, m, code(q, row, m)] accumulated in
+    ascending-m order — BIT-EXACT the plain scan's f32 sums (each
+    one-hot select sums K-1 zeros + 1 exact f32 value).
+
+    Why a kernel: XLA lowers the per-query einsum rerank to batched
+    [S, K] @ [K, 1] matvecs — output width 1, so the MXU runs ~1/128
+    utilized and S=4096 costs ~12 ms/batch.  The lookup is 1 table
+    read per (row, m): a VPU compare+select+reduce over [st, K] strips
+    (table row [1, K] broadcast down the sublanes, reduced across the
+    lanes) is the minimal-work formulation; candidates differ per
+    query, so no shared-operand matmul form exists — the contrast with
+    ``exact_all_topk`` where they are shared.  Fixed strip size keeps
+    compile time per rung shape constant (a single-block variant at
+    S=8192 blew up Mosaic scheduling)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (K, st), 0)
+    for j in range(bq):
+        hj = codes_ref[j].astype(jnp.int32)              # [M, st]
+        acc = jnp.zeros((1, st), jnp.float32)
+        for m in range(M):
+            oh = hj[m:m + 1, :] == iota                  # [K, st]
+            t = tabT_ref[0, m * K:(m + 1) * K, j:j + 1]  # [K, 1]
+            acc = acc + jnp.sum(
+                jnp.where(oh, t, 0.0), axis=0, keepdims=True)
+        out_ref[j:j + 1, :] = acc
+
+
+@jax.jit
+def rerank_table_sums(tab_flat: jnp.ndarray, cand_codes: jnp.ndarray
+                      ) -> jnp.ndarray:
+    """tab_flat [B, M*K] f32; cand_codes [B, M, S] u8 (candidate rows
+    on the TRAILING axis) -> exact f32 distances [B, S] (ascending-m
+    f32 table sums, identical values to the plain scan's).
+
+    Layout note: every array keeps a >=128 (or whole-dim) trailing
+    axis — a [B, S, M] candidate layout or [B, S, 1] output would get
+    lane-padded 16-128x by the TPU tiling (a 128 MB cap-rung output
+    materialized 16 GB and OOM'd HBM)."""
+    B, MK = tab_flat.shape
+    _, M, S = cand_codes.shape
+    K = MK // M
+    if S <= 1024:
+        st, Sp = S, S
+    else:
+        # strip size must divide S; pad S up rather than run a
+        # whole-S block (a 28640-candidate cap rung as one block
+        # needed 42 MB of scoped VMEM and failed to compile)
+        st = next((d for d in (1024, 512, 256, 128) if S % d == 0),
+                  None)
+        if st is None:
+            st, Sp = 1024, -(-S // 1024) * 1024
+            cand_codes = jnp.concatenate(
+                [cand_codes,
+                 jnp.zeros((B, M, Sp - S), cand_codes.dtype)],
+                axis=2)
+        else:
+            Sp = S
+    bq = _RERANK_BQ
+    pad = (-B) % bq
+    if pad:
+        tab_flat = jnp.concatenate(
+            [tab_flat, jnp.zeros((pad, MK), tab_flat.dtype)], axis=0)
+        cand_codes = jnp.concatenate(
+            [cand_codes,
+             jnp.zeros((pad, M, Sp), cand_codes.dtype)], axis=0)
+    Bp = B + pad
+    # [Bp/bq, MK, bq]: trailing dims whole -> no tile padding, and the
+    # kernel reads [K, 1] table columns with static slices
+    tabT = tab_flat.reshape(Bp // bq, bq, MK).transpose(0, 2, 1)
+    out = pl.pallas_call(
+        functools.partial(_rerank_kernel, st=st, M=M, K=K, bq=bq),
+        grid=(Bp // bq, Sp // st),
+        in_specs=[
+            pl.BlockSpec((1, MK, bq), lambda i, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, M, st), lambda i, s: (i, 0, s),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bq, st), lambda i, s: (i, s),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, Sp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * B * S * M * K,
+            bytes_accessed=B * MK * 4 + B * S * M + B * S * 4,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(tabT, cand_codes)
+    return out[:B, :S]
+
 def _fence_margin(fence: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
     """bf16-matmul-domain error allowance for the exactness
     certificate.  The subtile mins come from bf16 operands (~2^-8
@@ -1118,29 +1213,26 @@ def select_rerank(mins: jnp.ndarray, q2: jnp.ndarray, table: jnp.ndarray,
             ).reshape(B, S)
     # gather candidate codes at BLOCK granularity: B*n_sub contiguous
     # unit-row slices instead of B*S scattered rows (~8x fewer gather
-    # descriptors — the row gather dominates the epilogue otherwise)
+    # descriptors — the row gather dominates the epilogue otherwise).
+    # The gather view keeps a 128+-lane trailing axis (unit*M) — a
+    # [..., unit, M] shape would be lane-padded 16x by the TPU tiling
+    # (4 GB at the cap rung, measured OOM)
     n_pad_rows = codes.shape[0]
     n_units_total = n_pad_rows // unit
     safe_units = jnp.clip(sub_ids, 0, n_units_total - 1)
-    cw = codes.reshape(n_units_total, unit, M)[safe_units]  # [B,ns,u,M]
-    cw = cw.reshape(B, S, M).astype(jnp.int32)
+    cw = codes.reshape(n_units_total, unit * M)[safe_units]
     tf = table.reshape(B, M * K)
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2)
-    # exact f32 table values via one-hot einsum (selection of a single
-    # value per row is exact).  Alternatives measured SLOWER on this
-    # backend: int8 bit-plane matmul (0.42 vs 0.24 ms at S=256, and
-    # not bit-faithful); jnp.take_along_axis (184 ms vs 12 ms at
-    # S=4096 — XLA TPU serializes the batched gather); and the 3-digit
-    # bf16 table split that wins in ``exact_all_topk`` (77.7 vs
-    # 35.7 ms/batch dense-tier here: in this BATCHED einsum the
-    # per-query one-hot construction dominates and XLA rebuilds it
-    # per digit pass, tripling the dominant term).
-    exact = jnp.zeros((B, S), jnp.float32)
-    for m in range(M):
-        onehot = (cw[:, :, m:m + 1] == iota_k).astype(jnp.float32)
-        exact = exact + jnp.einsum(
-            "bsk,bk->bs", onehot, tf[:, m * K:(m + 1) * K],
-            preferred_element_type=jnp.float32)
+    # exact f32 table sums via the Pallas one-hot select-reduce kernel
+    # (``rerank_table_sums``): bit-exact the plain scan's values,
+    # much faster than the XLA einsum form (which lowers to width-1
+    # batched matvecs).  Alternatives measured SLOWER still: int8
+    # bit-plane matmul (and not bit-faithful); jnp.take_along_axis
+    # (184 ms vs 12 ms at S=4096 — XLA TPU serializes the batched
+    # gather); the 3-digit bf16 table split that wins in
+    # ``exact_all_topk`` (the BATCHED per-query one-hot rebuild
+    # dominates and triples).
+    cand = cw.reshape(B, S, M).transpose(0, 2, 1)    # [B, M, S]
+    exact = rerank_table_sums(tf, cand)
     exact = jnp.where(rows < n_valid, exact, jnp.inf)
     # top_k can exceed the candidate pool when it approaches N (tiny
     # databases): select what exists and pad with (+inf, -1)

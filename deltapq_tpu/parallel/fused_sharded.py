@@ -115,6 +115,11 @@ class ShardedCompressedEngine:
                           if row_to_db is not None else None)
         self._fn = None
 
+    def bytes_per_vec(self) -> float:
+        """Resident delta-tile bytes per vector (summed over shards)."""
+        return ((self.tiles.row_data.nbytes + self.tiles.ovf.nbytes)
+                / max(self.n_valid, 1))
+
     def query(self, queries: np.ndarray, top_k: int = 10
               ) -> Tuple[np.ndarray, np.ndarray]:
         q = np.asarray(queries, np.float32)

@@ -142,6 +142,9 @@ def find_edges_by_diff(codes: np.ndarray, K: int,
                        max_height_folds: int = 1, method: int = 1,
                        tables: Optional[np.ndarray] = None,
                        ta_hubs: int = 4,
+                       sample_rate: Optional[float] = None,
+                       max_combos_per_round: int = 64,
+                       seed: int = 12345,
                        ) -> EdgeFindResult:
     """Build the approximate minimum-spanning star forest.
 
@@ -160,6 +163,19 @@ def find_edges_by_diff(codes: np.ndarray, K: int,
     ``tables`` ([M, K, K] inter-centroid distances); hub chains can
     exceed the height accounting by one level per round (worst case M
     extra levels, repaired at serialization if depth > 15).
+
+    Combination subsampling (M > 8): enumerating every C(M, M-diff)
+    kept-subset is impractical at M=16 (65536 sort rounds total), so
+    the rounds subsample combinations like the reference
+    (``find_edge.cpp:1199-1202``: shuffle then resize to
+    ``round(size * sample_rate)``).  ``sample_rate`` gives the
+    reference's global rate; the default (None) caps each round at
+    ``max_combos_per_round`` random combinations instead — a bounded
+    build regardless of M.  Sampling keeps most of the compression: a
+    pair differing in d subspaces is matched by any sampled kept-set
+    avoiding its d diff positions (e.g. 76% of combos at M=16, d=2),
+    so low-diff structure — where the bytes are — survives.  M <= 8
+    always enumerates fully (reference behavior).
     """
     codes = np.asarray(codes)
     n, M = codes.shape
@@ -176,11 +192,21 @@ def find_edges_by_diff(codes: np.ndarray, K: int,
     root_id = 0 if n else -1
     rounds_log = []
 
+    rng = np.random.default_rng(seed)
     for diff in range(diff_argument + 1):
         if len(active) <= 1:
             break
         merged = np.zeros(len(active), bool)   # per-position in `active`
-        for kept in nchoosek(M, M - diff):
+        combos = nchoosek(M, M - diff)
+        if M > 8 and len(combos) > 1:
+            if sample_rate is not None:
+                keep = max(1, int(round(len(combos) * sample_rate)))
+            else:
+                keep = max_combos_per_round
+            if keep < len(combos):
+                idx = rng.permutation(len(combos))[:keep]
+                combos = [combos[i] for i in sorted(idx)]
+        for kept in combos:
             act_pos = np.flatnonzero(~merged)
             if len(act_pos) <= 1:
                 continue

@@ -98,4 +98,17 @@ sh_eng = ShardedCompressedEngine(cw, codes_c[order], mesh,
 d_c, _ = sh_eng.query(queries, top_k=5)
 np.testing.assert_allclose(d_c, d_ref_c, rtol=1e-5, atol=1e-4)
 
+# dedup product tier across the process boundary (VERDICT r4 #5):
+# distinct codes sharded over the 2-process mesh, host row expansion;
+# distances must match the plain scan over the duplicated rows
+from deltapq_tpu.ops.fused import DedupCompressedEngine  # noqa: E402
+
+distinct = rng.integers(0, K, size=(64, M)).astype(np.uint8)
+codes_dup = distinct[rng.integers(0, 64, size=2048)]
+dd_eng = DedupCompressedEngine(cw, codes_dup, mesh=mesh)
+d_dd, _ = dd_eng.query(queries, top_k=5)
+d_dd_ref, _ = query_plain(cw, queries, codes_dup, top_k=5,
+                          engine="xla")
+np.testing.assert_allclose(d_dd, d_dd_ref, rtol=1e-5, atol=1e-4)
+
 print(f"proc {proc_id}: OK", flush=True)

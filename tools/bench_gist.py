@@ -20,9 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 def make_gist_workload(n, M=16, K=256, Ds=60, n_clusters=4096, seed=0):
-    """Clustered 960-d vectors -> PQ learn -> encode -> lexsort: the
-    real pipeline at the GIST shape (same methodology as
-    bench.make_clustered_codes)."""
+    """Clustered 960-d vectors -> PQ learn -> encode: the real
+    pipeline at the GIST shape (same methodology as
+    bench.make_clustered_codes).  Codes come back in DATABASE order;
+    the caller builds the DeltaTree for the scan order."""
     import jax
 
     from deltapq_tpu.ops.encode import pq_encode
@@ -37,8 +38,7 @@ def make_gist_workload(n, M=16, K=256, Ds=60, n_clusters=4096, seed=0):
     cw = pq_learn(jax.random.PRNGKey(seed), x[:20000], M=M, K=K,
                   max_iters=40, n_init=1)
     codes = np.asarray(pq_encode(cw, x))
-    order = np.lexsort(codes.T[::-1])
-    return np.asarray(cw), codes[order], x
+    return np.asarray(cw), codes, x
 
 
 def measure(fn, iters=(2, 10), repeats=3):
@@ -80,6 +80,29 @@ def main():
     queries = (x[rng.integers(0, N, size=B)]
                + rng.normal(size=(B, D)).astype(np.float32) * 0.1)
     del x
+
+    # M=16 DeltaTree build (VERDICT r4 #4): method 1 with combination
+    # subsampling (find_edge.cpp:1199-1202 semantics) makes the tree
+    # build practical at M=16; the bench scans in TREE-DFS order — the
+    # namesake data structure, not the lexsort shortcut
+    from deltapq_tpu.ops.stream_tiles import build_stream_tiles
+    from deltapq_tpu.tree.build import find_edges_by_diff
+    from deltapq_tpu.tree.layout import build_layout
+
+    t0 = time.perf_counter()
+    res = find_edges_by_diff(codes, K=K, method=1)
+    tree = build_layout(codes, res.edges, res.root_id, K=K,
+                        tables="skip")
+    t_tree = time.perf_counter() - t0
+    order = tree.vec_id.astype(np.int64)
+    bpv_dfs = build_stream_tiles(codes[order]).bytes_per_vec()
+    bpv_lex = build_stream_tiles(
+        codes[np.lexsort(codes.T[::-1])]).bytes_per_vec()
+    codes = codes[order]
+    print(f"M=16 tree build {t_tree:.1f}s ({res.n_diffs} diffs); "
+          f"stream B/vec: tree-DFS {bpv_dfs:.3f} vs lexsort "
+          f"{bpv_lex:.3f} (plain {M})", file=sys.stderr)
+
     print(f"backend={jax.default_backend()} N={N} B={B} M={M} K={K} "
           f"D={D} top_k={top_k}", file=sys.stderr)
 
@@ -92,9 +115,35 @@ def main():
     def verify(eng, name):
         d, i = eng.query(queries, top_k=top_k)
         dok = np.allclose(d, d_ref, rtol=1e-5, atol=1e-3)
-        iok = float(np.mean(np.asarray(i) == np.asarray(i_ref)))
+        i = np.asarray(i)
+        iok = float(np.mean(i == np.asarray(i_ref)))
+        audit = ""
+        if iok < 1.0:
+            # f64 tie audit (VERDICT r4 weak #5): every id disagreement
+            # must be an fp tie — each id in the per-query symmetric
+            # difference must sit within 1e-9 (rel) of the k-th f64
+            # distance, else it is a REAL divergence
+            tab64 = np.asarray(table).astype(np.float64)
+            ci = codes.astype(np.int64)
+            real_div = 0
+            n_flip = 0
+            iref = np.asarray(i_ref)
+            for q in range(len(i)):
+                ours, ref = set(i[q].tolist()), set(iref[q].tolist())
+                sym = (ours - ref) | (ref - ours)
+                if not sym:
+                    continue
+                d64 = tab64[q, np.arange(M)[None, :],
+                            ci[sorted(sym)]].sum(axis=1)
+                dk = tab64[q, np.arange(M)[None, :],
+                           ci[iref[q]]].sum(axis=1).max()
+                n_flip += len(sym)
+                real_div += int(np.sum(
+                    np.abs(d64 - dk) > 1e-9 * max(dk, 1e-12)))
+            audit = (f" tie_audit: {n_flip} flips, "
+                     f"{real_div} real divergences")
         print(f"  {name}: dists_match={dok} id_agree={iok:.4f} "
-              f"first_shot_cert={eng.last_exact_frac:.3f}",
+              f"first_shot_cert={eng.last_exact_frac:.3f}{audit}",
               file=sys.stderr)
 
     ns_total = -(-N // fp.SUB)
