@@ -164,6 +164,13 @@ class BigCompressedIndex:
     def bytes_per_vec(self) -> float:
         return self.engine.bytes_per_vec()
 
+    def warmup(self, batch_sizes=(128,), top_k: int = 10) -> None:
+        """Pre-compile + certificate-calibrate the query path (VERDICT
+        r4 #3/#7): the serving story at 100M is warmup-then-serve, not
+        a 45 s first query."""
+        if hasattr(self.engine, "warmup"):
+            self.engine.warmup(batch_sizes, top_k=top_k)
+
     def query(self, queries: np.ndarray, top_k: int = 10):
         return self.engine.query(queries, top_k=top_k)
 
@@ -304,6 +311,43 @@ class ChunkedCompressedEngine:
                 self._host.append((st, ids))
         return self
 
+    def warmup(self, batch_sizes=(128,), top_k: int = 10,
+               calibrate: bool = True) -> None:
+        """Pre-compile + certificate-calibrate (VERDICT r4 #3): the
+        first chunk calibrates its first-rung size on its measured tie
+        density; the hint seeds every other chunk (same data
+        distribution — each still adapts individually afterwards).
+        Non-resident chunks are ephemeral, so the hint lives on the
+        chunked engine and is re-applied per upload."""
+        from .ops.fused import FusedCompressedEngine
+
+        if self.resident:
+            if not self.chunks:
+                return
+            e0 = self.chunks[0]
+            if calibrate and hasattr(e0, "calibrate"):
+                e0.calibrate(top_k=top_k)
+                hint = getattr(e0, "ns_hint", None)
+                if hint:
+                    for e in self.chunks[1:]:
+                        e.ns_hint = hint
+            for e in self.chunks:
+                if hasattr(e, "warmup"):
+                    try:
+                        e.warmup(batch_sizes, top_k=top_k,
+                                 calibrate=False)
+                    except TypeError:  # sharded engine: no calibrate
+                        e.warmup(batch_sizes, top_k=top_k)
+        elif self._host:
+            st, ids = self._host[0]
+            eng = FusedCompressedEngine.from_tiles(
+                self.codewords, st, row_to_db=ids,
+                precision=self.precision)
+            if calibrate:
+                eng.calibrate(top_k=top_k)
+                self.ns_hint = getattr(eng, "ns_hint", None)
+            eng.warmup(batch_sizes, top_k=top_k, calibrate=False)
+
     def query(self, queries: np.ndarray, top_k: int = 10
               ) -> Tuple[np.ndarray, np.ndarray]:
         from .ops.fused import FusedCompressedEngine
@@ -318,8 +362,14 @@ class ChunkedCompressedEngine:
                 self.codewords, st, row_to_db=ids,
                 precision=self.precision)
                 for st, ids in self._host)
+        hint = getattr(self, "ns_hint", None)
         for eng in engines:
+            if not self.resident and hint:
+                eng.ns_hint = hint
             d, i = eng.query(queries, top_k=top_k)
+            if not self.resident:
+                # carry adaptation across ephemeral chunk engines
+                hint = self.ns_hint = getattr(eng, "ns_hint", hint)
             parts_d.append(d)
             parts_i.append(i)
         d_all = np.concatenate(parts_d, axis=1)

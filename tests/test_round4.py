@@ -221,11 +221,15 @@ def test_final_exact_terminal_scan_guarantees_results():
                                atol=1e-4)
 
 
-def test_index_auto_engine_resolution():
+def test_index_auto_engine_resolution(monkeypatch):
     """engine="auto" resolves to the dedup product tier on TPU when
-    codes are duplicate-heavy, the dense compressed tier otherwise,
-    and the plain XLA scan off-TPU."""
+    the DISTINCT-code count fits the exact-all regime, the dense
+    compressed tier above it, and the plain XLA scan off-TPU (round-5
+    policy: dedup only below EXACT_ALL_MAX_ROWS distinct — at dup 2x
+    the int16 dense scan over all rows beats the dedup stream scan
+    over distinct rows)."""
     from deltapq_tpu import DeltaPQIndex
+    from deltapq_tpu.ops.fused import DedupCompressedEngine
 
     rng = np.random.default_rng(8)
     M, K = 4, 16
@@ -237,6 +241,11 @@ def test_index_auto_engine_resolution():
     assert idx._resolve_auto(backend="cpu") == "xla"
     uniq_codes = rng.integers(0, K, size=(3000, M)).astype(np.uint8)
     idx2 = DeltaPQIndex(cw, uniq_codes, build_tree=False)
+    # ~3000 distinct codes still fit the exact-all regime
+    assert idx2._resolve_auto(backend="axon") == "fused_dedup"
+    # above the exact-all bound the dense compressed tier wins
+    monkeypatch.setattr(DedupCompressedEngine, "EXACT_ALL_MAX_ROWS",
+                        1000)
     assert idx2._resolve_auto(backend="axon") == "fused_compressed"
 
 
