@@ -278,19 +278,23 @@ class ChunkedCompressedEngine:
 
     @classmethod
     def from_saved(cls, path: str, mmap: bool = True,
-                   resident: bool = False
+                   resident: bool = False, mesh=None,
+                   shard_axis: str = "shard"
                    ) -> "ChunkedCompressedEngine":
         """Reopen a saved chunked engine.  ``mmap=True`` +
         ``resident=False`` is the beyond-host-RAM mode: tiles stay on
         disk, each query batch streams them chunk-by-chunk through
         the chip (the reference's per-query O_DIRECT refill,
         ``deltapq_create_approx_tree.h:2816-2822``, as a page-cache
-        -backed upload instead of a 4KB read loop)."""
+        -backed upload instead of a 4KB read loop).  ``mesh``: shard
+        each chunk's scan over devices (BASELINE config-5 topology —
+        disk-backed chunks x a device mesh; rehearsed on the virtual
+        8-device mesh in tests/test_round5.py)."""
         import json
         import os
 
         from .ops.fused import FusedCompressedEngine
-        from .ops.stream_tiles import StreamTiles
+        from .ops.stream_tiles import StreamTiles, decode_stream_tiles
 
         with open(os.path.join(path, "header.json")) as f:
             h = json.load(f)
@@ -298,6 +302,20 @@ class ChunkedCompressedEngine:
         self.codewords = np.load(os.path.join(path, "codewords.npy"))
         self.precision = h["precision"]
         self.resident = resident
+        if mesh is not None:
+            from .parallel.fused_sharded import ShardedCompressedEngine
+
+            self.chunks, self._host = [], []
+            for i in range(int(h["n_chunks"])):
+                cdir = os.path.join(path, f"chunk_{i:04d}")
+                st = StreamTiles.load(cdir, mmap=mmap)
+                ids = np.fromfile(os.path.join(cdir, "ids.i64"),
+                                  np.int64)
+                self.chunks.append(ShardedCompressedEngine(
+                    self.codewords, decode_stream_tiles(st), mesh,
+                    row_to_db=ids, axis=shard_axis))
+            self.resident = True  # sharded chunks live on the mesh
+            return self
         self.chunks, self._host = [], []
         for i in range(int(h["n_chunks"])):
             cdir = os.path.join(path, f"chunk_{i:04d}")

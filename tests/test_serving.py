@@ -130,3 +130,59 @@ def test_server_blocking_query_and_close(small_engine):
     srv.close()
     with pytest.raises(RuntimeError):
         srv.submit(qs[:1])
+
+
+def test_server_dedup_engine_under_concurrent_load():
+    """VERDICT r4 #8: the dedup product tier behind the server — the
+    host-side ``expand`` runs on the dispatcher thread; concurrent
+    client waves must all resolve exactly (vs the plain scan) and the
+    server must still coalesce (no per-wave dispatch)."""
+    import threading
+
+    import jax
+
+    from deltapq_tpu.ops import query_plain
+    from deltapq_tpu.ops.fused import DedupCompressedEngine
+
+    rng = np.random.default_rng(9)
+    M, K, Ds = 4, 16, 8
+    cw = rng.normal(size=(M, K, Ds)).astype(np.float32)
+    distinct = rng.integers(0, K, size=(64, M)).astype(np.uint8)
+    codes = distinct[rng.integers(0, 64, size=3000)]
+    eng = DedupCompressedEngine(cw, codes)
+    qs = rng.normal(size=(64, M * Ds)).astype(np.float32)
+    d_ref, _ = query_plain(cw, qs, codes, top_k=5, engine="xla")
+
+    results = {}
+    errs = []
+
+    def client(i):
+        try:
+            f = srv.submit(qs[i * 8:(i + 1) * 8])
+            results[i] = f.result(timeout=60)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    with CoalescingServer(eng, wave_rows=32, max_wait_ms=20,
+                          top_k=5) as srv:
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+    assert not errs
+    assert len(results) == 8 and srv.rows_served == 64
+    # expansion correctness: each returned id's decoded-code distance
+    # must equal the reported distance (ids are real duplicate rows)
+    dec = cw.reshape(M * K, Ds)[
+        (codes.astype(np.int64) + np.arange(M) * K)].reshape(-1, M * Ds)
+    for i in range(8):
+        d, ids = results[i]
+        np.testing.assert_allclose(d, d_ref[i * 8:(i + 1) * 8],
+                                   rtol=1e-5, atol=1e-4)
+        qb = qs[i * 8:(i + 1) * 8]
+        d_ids = ((qb[:, None, :] - dec[ids]) ** 2).sum(axis=2)
+        np.testing.assert_allclose(d_ids, d, rtol=1e-4, atol=1e-3)
+    # coalescing happened: 8 waves of 8 rows in <= 4 dispatches
+    assert srv.dispatches <= 4

@@ -89,9 +89,14 @@ def main():
     t_k = timeit(lambda q, s, it: bench_kernel(q, jnp.float32(s), it))
     print(f"kernel-only: {t_k*1000:.2f} ms/batch", flush=True)
 
-    for pool in (1, 2, 4):
-        for rungs_rows in ((1024, 8192), (2048, 16384), (4096, 32768),
-                           (8192,)):
+    pools = tuple(int(x) for x in os.environ.get(
+        "GRID_POOLS", "1,2,4").split(","))
+    rung_sets = tuple(
+        tuple(int(r) for r in s.split(":")) for s in os.environ.get(
+            "GRID_RUNGS",
+            "1024:8192,2048:16384,4096:32768,8192").split(","))
+    for pool in pools:
+        for rungs_rows in rung_sets:
             unit = fp.SUB * pool
             rungs = tuple(dict.fromkeys(
                 max(2, r // unit) for r in rungs_rows))

@@ -3,8 +3,9 @@ chunked generate -> TPU encode -> partitioned build -> compressed-tier
 query -> recall vs streamed exact groundtruth, all timed, with host
 memory bounded by the chunk size.
 
-Usage: python tools/bigrun.py [N] [n_parts] [n_queries]
-Writes a JSON summary to BIGRUN.json at the repo root.
+Usage: python tools/bigrun.py [N] [n_parts] [n_queries] [precision]
+Writes a JSON summary to BIGRUN.json at the repo root (override with
+DELTAPQ_BIGRUN_OUT for pilots).
 """
 
 import json
@@ -45,13 +46,20 @@ def main():
     n_total = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000_000
     n_parts = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     n_q = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+    # int8 default: at bigrun cluster density the calibrated first
+    # rung (ns_hint) gives first-shot ~1.0 at int8 too (8M pilot:
+    # int8 0.134s/100 vs int16 0.154 — the int16 radius win doesn't
+    # pay for its 4-pass cross + double-width decode here)
+    precision = sys.argv[4] if len(sys.argv) > 4 else "int8"
     top_k = 10
-    report = {"n": n_total, "n_parts": n_parts, "n_queries": n_q}
+    out_name = os.environ.get("DELTAPQ_BIGRUN_OUT", "BIGRUN.json")
+    report = {"n": n_total, "n_parts": n_parts, "n_queries": n_q,
+              "precision": precision}
 
     def checkpoint():
         # phase-incremental write: a killed run still lands the phases
         # it finished (the 20M/100M runs are tens of minutes)
-        with open(os.path.join(ROOT, "BIGRUN.json"), "w") as f:
+        with open(os.path.join(ROOT, out_name), "w") as f:
             json.dump(report, f, indent=1)
 
     import jax
@@ -97,7 +105,8 @@ def main():
     checkpoint()
 
     t0 = time.time()
-    idx = BigCompressedIndex(cw, codes, n_parts=n_parts, workers=2)
+    idx = BigCompressedIndex(cw, codes, n_parts=n_parts, workers=2,
+                            precision=precision)
     report["t_build_s"] = round(time.time() - t0, 1)
     report["t_sort_s"] = round(idx.build_stats.t_sort, 1)
     report["t_trees_s"] = round(idx.build_stats.t_build, 1)
@@ -154,7 +163,8 @@ def main():
             for e in engines:
                 mins, echo = fp.fused_stream_mins(
                     qop, e.cwbd, e.row_data, e.vals, e.meta,
-                    jnp.int32(e.n_valid), e.tiles.e_max, e.M, u=uq)
+                    jnp.int32(e.n_valid), e.tiles.e_max, e.M, u=uq,
+                    int16=e.precision == "int16")
                 outs.append(mins)
             return [m.block_until_ready() for m in outs]
         kernels_once()  # warm
@@ -212,7 +222,7 @@ def main():
           f" recall@10={rec_plain:.4f} (delta "
           f"{report['recall_delta_vs_plain']:+.4f})", flush=True)
 
-    with open(os.path.join(ROOT, "BIGRUN.json"), "w") as f:
+    with open(os.path.join(ROOT, out_name), "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report))
 
