@@ -97,14 +97,16 @@ def _pool_for(ns_total: int) -> int:
 
 
 def _default_n_sub(top_k: int, n_units: int, unit: int) -> int:
-    """Candidate unit count: ~100x over-provision of top_k rows (at
-    least 1024 rows), bounded to the database.  Round-4 sweep
-    (tools/bench_dedup_stages.py): the first-shot certificate rate is
-    the dominant cost lever — 0.03 at 256 candidate rows vs 0.96 at
-    1024 vs 1.00 at 2048 on clustered data — and a bigger first rung
-    (~1 ms of rerank) beats a 16x escalation rung firing every batch
-    (~10 ms) by a wide margin."""
-    want = -(-max(100 * top_k, 1024) // unit)
+    """Candidate unit count: ~50x over-provision of top_k rows (at
+    least 512 rows), bounded to the database.  Round-5 grid
+    (tools/bench_epilogue_grid.py, 1M sift_like, int16, B=512):
+    512-row first rung keeps first-shot 1.000 and beats 1024 rows
+    (10.45 vs 11.80 ms/batch = 49.0k vs 43.4k QPS); 256 rows
+    collapses to 0.848 first-shot and loses (15.5 ms).  Under-
+    provision on other index shapes is recovered by the per-index
+    calibration + across-batch adaptive growth (``ns_hint``) and the
+    new gentle 2x escalation rung."""
+    want = -(-max(50 * top_k, 512) // unit)
     return int(max(2, min(want, max(n_units - 1, 1))))
 
 
@@ -215,8 +217,13 @@ def _select_with_escalation(mins_nb, q2, table, codes_dev, n_valid,
     # (duplicate-heavy data; the dedup tier's territory) go to the
     # terminal exact scan instead of a monster gather
     ns_cap = min(max(n_units - 1, 1), max(ns, 65536 // unit))
+    # ladder shape (ns, 2ns, 8ns, cap): the 2x rung absorbs borderline
+    # first-shot misses at a quarter of the 8x rung's rerank cost —
+    # at 100M/first-shot 0.55, SOME query misses almost every batch,
+    # so the firing rung's size is the per-batch marginal cost; each
+    # rung is lax.cond-gated and costs nothing when it doesn't fire
     rungs = tuple(dict.fromkeys(
-        [ns, min(ns * 8, ns_cap), ns_cap]))
+        [ns, min(ns * 2, ns_cap), min(ns * 8, ns_cap), ns_cap]))
     d, rows, ok, ok1 = fused_select_esc(
         mins_nb, q2, table, codes_dev, n_valid, top_k, rungs, pool,
         err_r=err_r, scale2=scale2, invalid=invalid,
