@@ -325,8 +325,15 @@ def _setup_precision(self, codewords: np.ndarray, precision: str):
         self.err_c = _int8_codeword_radius(codewords, self.mu,
                                            self.scale)
     elif precision == "int16":
-        cwq, self.scale = fp.quantize_blockdiag_int16(
-            codewords, center=self.mu[:self.D])
+        M, K, Ds = codewords.shape
+        if fp._int16_g2() and M * Ds == 128 and M % 2 == 0:
+            # experimental G2-packed decode (halved decode-matmul
+            # MACs at full lane utilization; same digit values/scale)
+            cwq, self.scale = fp.quantize_blockdiag_int16_g2(
+                codewords, center=self.mu[:self.D])
+        else:
+            cwq, self.scale = fp.quantize_blockdiag_int16(
+                codewords, center=self.mu[:self.D])
         self.cwbd = jnp.asarray(cwq)
         self.err_c = _int16_codeword_radius(codewords, self.mu,
                                             self.scale)

@@ -300,6 +300,50 @@ def _scan_tail(H, q_ref, cwbd_ref, n_valid_ref, out_ref, codes_out_ref,
     iota_k = jax.lax.broadcasted_iota(
         jnp.int32, (TILE, K), 1).astype(ct)
     Hc = H.astype(ct)
+    if (int16 and cwbd_ref.shape[0] == M * K
+            and cwbd_ref.shape[1] == 128 and M % 2 == 0):
+        # G2-packed int16 decode (``quantize_blockdiag_int16_g2``):
+        # two [TILE, M*K/2] x [M*K/2, 128] decode matmuls (a|b planes
+        # share the 128 lanes) instead of one [TILE, M*K] x [M*K,
+        # 256] — half the MACs at full lane utilization; cross passes
+        # reassemble plain-dim-order digit planes by lane concat
+        Mg2 = M // 2
+        w = cwbd_ref.shape[1] // 2               # 64
+        GD = q_ref.shape[0] // 2                 # 128 a-plane rows
+        pre = jnp.zeros((TILE, 1), jnp.float32)
+        xa_parts, xb_parts = [], []
+        for g2 in range(2):
+            for mi in range(Mg2):
+                m = g2 * Mg2 + mi
+                oh_ref[:, mi * K:(mi + 1) * K] = (
+                    (Hc[:, m:m + 1] == iota_k).astype(oh_dtype))
+            cwg = cwbd_ref[g2 * Mg2 * K:(g2 + 1) * Mg2 * K, :]
+            x_ab = jnp.dot(oh_ref[:, :Mg2 * K], cwg,
+                           preferred_element_type=jnp.int32)
+            af = x_ab[:, :w].astype(jnp.float32)
+            A = 128.0 * af + x_ab[:, w:].astype(jnp.float32)
+            pre = pre + jnp.sum(A * A, axis=1, keepdims=True)
+            x8 = x_ab.astype(jnp.int8)           # exact: single digits
+            xa_parts.append(x8[:, :w])
+            xb_parts.append(x8[:, w:])
+        xa8 = jnp.concatenate(xa_parts, axis=1)  # plain dim order
+        xb8 = jnp.concatenate(xb_parts, axis=1)
+        qa = q_ref[0:GD, :]
+        qb = q_ref[GD:2 * GD, :]
+        caa = jnp.dot(xa8, qa, preferred_element_type=jnp.int32)
+        p2 = jnp.dot(jnp.concatenate([xa8, xb8], axis=1),
+                     jnp.concatenate([qb, qa], axis=0),
+                     preferred_element_type=jnp.int32)
+        cbb = jnp.dot(xb8, qb, preferred_element_type=jnp.int32)
+        cross = (16384.0 * caa.astype(jnp.float32)
+                 + 128.0 * p2.astype(jnp.float32)
+                 + cbb.astype(jnp.float32))
+        if u_ref is not None:
+            cross = cross * u_ref[:]
+        d = _mask_invalid(pre - 2.0 * cross, n_valid_ref)
+        _subtile_mins(d, out_ref)
+        codes_out_ref[:] = H.astype(jnp.uint8)
+        return
     pre = jnp.zeros((TILE, 1), jnp.float32)
     cross = jnp.zeros((TILE, q_ref.shape[1]), jnp.float32)
     for g in range(G):
@@ -898,6 +942,48 @@ def quantize_blockdiag_int16(cwbd_bf16_or_cw, center=None):
     b = A - 128.0 * a
     out = np.concatenate([a, b], axis=1).astype(np.int8)
     return out, scale
+
+
+def _int16_g2() -> bool:
+    """Trace-time knob: G2-packed int16 decode for M*Ds == 128.
+
+    The standard int16 decode is ONE [TILE, M*K] x [M*K, 2*Dg=256]
+    matmul (537 MMAC/tile).  When the true dims fit half the lane
+    width (M*Ds == 128 -> two groups of 64), the digit planes of each
+    4-subspace group pack side-by-side into exactly 128 lanes
+    ([a(64)|b(64)]), so decode becomes TWO [TILE, M*K/2] x [M*K/2,
+    128] matmuls = 268 MMAC/tile with full lane utilization — the
+    col-sliced alternative keeps the MAC count at 537 because a
+    [TILE, 64] output lane-pads to 128 anyway."""
+    import os
+    return os.environ.get("DELTAPQ_INT16_G2", "0") == "1"
+
+
+def quantize_blockdiag_int16_g2(cw, center=None):
+    """G2-packed variant of ``quantize_blockdiag_int16`` for
+    M*Ds == 128: returns ([M*K, 128] int8, scale) where group
+    g = m // (M/2) rows carry [a-digits(64) | b-digits(64)] of the
+    group's dims, block-diagonal within the group.  Same digit values
+    and scale as the standard packing (certificate math unchanged)."""
+    cw = np.asarray(cw, np.float32)
+    M, K, Ds = cw.shape
+    assert M * Ds == 128 and M % 2 == 0, "G2 packing needs M*Ds == 128"
+    Mg = M // 2
+    w = Mg * Ds                                    # 64
+    if center is not None:
+        cwc = cw - np.asarray(center, np.float32).reshape(M, 1, Ds)
+    else:
+        cwc = cw
+    scale = max(float(np.abs(cwc).max()) / 127.0, 1e-12)
+    A = np.clip(np.rint(cwc * (128.0 / scale)), -16256, 16256)
+    a = np.clip(np.rint(A / 128.0), -127, 127)
+    b = A - 128.0 * a
+    out = np.zeros((M * K, 2 * w), np.float32)
+    for m in range(M):
+        mi = m % Mg
+        out[m * K:(m + 1) * K, mi * Ds:(mi + 1) * Ds] = a[m]
+        out[m * K:(m + 1) * K, w + mi * Ds:w + (mi + 1) * Ds] = b[m]
+    return out.astype(np.int8), scale
 
 
 def int16_digits_to_values(q16: np.ndarray, scale: float) -> np.ndarray:
