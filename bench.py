@@ -185,9 +185,13 @@ def bench_workload(name, B, top_k, N, M, K):
         unit = fp.SUB * pool
         ns = min(_default_n_sub(ku, n_units, unit),
                  max(n_units - 1, 1))
-        ns_cap = min(max(n_units - 1, 1), max(ns, 65536 // unit))
+        # engine-faithful ladder: B-aware cap (the cap rung's [B, S]
+        # intermediates OOM a chip at a fixed 64K cap once B >= 2048)
+        # + the gentle 2x rung, exactly as _select_with_escalation
+        cap_rows = max(8192, 65536 * 512 // max(B, 512))
+        ns_cap = min(max(n_units - 1, 1), max(ns, cap_rows // unit))
         rungs = tuple(dict.fromkeys(
-            [ns, min(ns * 8, ns_cap), ns_cap]))
+            [ns, min(ns * 2, ns_cap), min(ns * 8, ns_cap), ns_cap]))
         mu = jnp.asarray(e.mu)
         scale = e.scale
         s_eff = scale / 128.0                    # int16 dual-digit step

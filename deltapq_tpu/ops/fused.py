@@ -216,7 +216,14 @@ def _select_with_escalation(mins_nb, q2, table, codes_dev, n_valid,
     # the candidate pool at 64k rows — tie pileups wider than that
     # (duplicate-heavy data; the dedup tier's territory) go to the
     # terminal exact scan instead of a monster gather
-    ns_cap = min(max(n_units - 1, 1), max(ns, 65536 // unit))
+    # ladder ceiling scales INVERSELY with batch: the cap rung's live
+    # intermediates are [B, S]-shaped, so a fixed 64K-row cap that
+    # fits at B=512 OOMs single-chip HBM at B=2048 (measured 17.3 GB
+    # vs 15.75).  Queries that fail past the cap go to the terminal
+    # exact scan — exactness is unaffected, only escalation granularity
+    b_cols = int(mins_nb.shape[1])
+    cap_rows = max(8192, 65536 * 512 // max(b_cols, 512))
+    ns_cap = min(max(n_units - 1, 1), max(ns, cap_rows // unit))
     # ladder shape (ns, 2ns, 8ns, cap): the 2x rung absorbs borderline
     # first-shot misses at a quarter of the 8x rung's rerank cost —
     # at 100M/first-shot 0.55, SOME query misses almost every batch,
